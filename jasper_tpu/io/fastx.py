@@ -1,0 +1,149 @@
+"""FASTA/FASTQ input (host side).
+
+Replaces the reference's streaming parsers (jellyfish
+mer_overlap_sequence_parser.hpp / whole_sequence_parser.hpp). Two access
+modes:
+
+  * ``read_fasta`` — whole-record dict for assemblies (insertion-ordered,
+    name = first whitespace token; matches reference src/jasper.py:615-631).
+  * ``stream_codes`` — chunked uint8 code stream for k-mer counting, with a
+    CODE_N separator injected between reads so no k-mer spans two reads
+    (the reference parser inserts an 'N' between reads,
+    mer_overlap_sequence_parser.hpp:163-183) and a k-1 seam carried between
+    successive chunks of one stream so no k-mer is lost.
+
+Transparent gzip (`zcat -f` semantics of reference src/jasper.sh:177).
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import os
+from typing import Iterable, Iterator
+
+import numpy as np
+
+from jasper_tpu.ops.codes import CODE_N, encode
+
+
+def _open_text(path: str):
+    f = open(path, "rb")
+    magic = f.read(2)
+    f.seek(0)
+    if magic == b"\x1f\x8b":
+        return io.TextIOWrapper(gzip.GzipFile(fileobj=f), encoding="ascii", errors="replace")
+    return io.TextIOWrapper(f, encoding="ascii", errors="replace")
+
+
+def read_fasta(path: str) -> dict[str, str]:
+    """FASTA -> {name: seq}; name = first whitespace token after '>'.
+
+    Mirrors the reference's parse_fasta exactly (src/jasper.py:615-631),
+    including insertion order.
+    """
+    seqs: dict[str, str] = {}
+    name = None
+    parts: list[str] = []
+    with _open_text(path) as f:
+        for line in f:
+            if line.startswith(">"):
+                if name is not None:
+                    seqs[name] = "".join(parts)
+                name = line.split()[0][1:]
+                parts = []
+            else:
+                parts.append(line.rstrip("\n"))
+    if name is not None:
+        seqs[name] = "".join(parts)
+    return seqs
+
+
+def write_fasta(path: str, seqs: dict[str, str], width: int = 60) -> None:
+    """60-column-wrapped FASTA (reference split_output, src/jasper.py:120-128,142-147)."""
+    with open(path, "w") as f:
+        for name, seq in seqs.items():
+            f.write(f">{name}\n")
+            for i in range(0, len(seq), width):
+                f.write(seq[i : i + width] + "\n")
+
+
+def iter_reads(path: str) -> Iterator[str]:
+    """Yield read sequences from FASTA or FASTQ (auto-detected)."""
+    with _open_text(path) as f:
+        first = f.read(1)
+        if not first:
+            return
+        f.readline()  # rest of the first header line
+        if first == ">":
+            parts: list[str] = []
+            for line in f:
+                if line.startswith(">"):
+                    yield "".join(parts)
+                    parts = []
+                else:
+                    parts.append(line.rstrip("\n"))
+            yield "".join(parts)
+        elif first == "@":
+            # FASTQ: header, seq, '+', qual
+            while True:
+                seq = f.readline()
+                if not seq:
+                    break
+                yield seq.rstrip("\n")
+                f.readline()  # +
+                f.readline()  # qual
+                hdr = f.readline()  # next @header
+                if not hdr:
+                    break
+        else:
+            raise ValueError(f"{path}: not FASTA or FASTQ (starts with {first!r})")
+
+
+def stream_codes(
+    paths: Iterable[str], k: int, chunk_len: int
+) -> Iterator[tuple[np.ndarray, int]]:
+    """Yield (codes uint8 [chunk_len], n_valid) chunks for counting.
+
+    Reads from all paths are concatenated with single CODE_N separators; a
+    k-1 code seam is carried across chunk boundaries so every k-mer of every
+    read appears in exactly one chunk. The tail beyond n_valid is CODE_N
+    padding (yielding zero-count invalid windows).
+    """
+    assert chunk_len > 2 * k
+    buf = np.full(chunk_len, CODE_N, dtype=np.uint8)
+    fill = 0
+    for path in paths:
+        for read in iter_reads(path):
+            rc = encode(read)
+            off = 0
+            while off < len(rc):
+                space = chunk_len - fill
+                take = min(space, len(rc) - off)
+                buf[fill : fill + take] = rc[off : off + take]
+                fill += take
+                off += take
+                if fill == chunk_len:
+                    yield buf, fill
+                    seam = buf[chunk_len - (k - 1) :].copy()
+                    buf = np.full(chunk_len, CODE_N, dtype=np.uint8)
+                    buf[: k - 1] = seam
+                    fill = k - 1
+            # separator between reads
+            if fill < chunk_len:
+                buf[fill] = CODE_N
+                fill += 1
+            else:
+                yield buf, fill
+                seam = buf[chunk_len - (k - 1) :].copy()
+                buf = np.full(chunk_len, CODE_N, dtype=np.uint8)
+                buf[: k - 1] = seam
+                fill = k - 1
+                buf[fill] = CODE_N
+                fill += 1
+    if fill > k - 1:
+        yield buf, fill
+
+
+def total_file_bytes(paths: Iterable[str]) -> int:
+    return sum(os.path.getsize(p) for p in paths)

@@ -1,0 +1,156 @@
+"""Jellyfish .jf "binary/sorted" file interchange.
+
+Format (clean-room from the reference sources; byte layout is fully
+determined by these):
+
+  * header: 9 ASCII decimal digits giving `hlen` (JSON length + NUL padding
+    to 8-byte alignment of 9+hlen), then terse JSON, then NUL padding
+    (jellyfish generic_file_header.hpp:88-117).
+  * JSON keys used by readers: "format" ("binary/sorted"), "key_len" (=2k
+    bits), "counter_len" (bytes per count), "size" (hash size, power of 2),
+    "matrix1" {r, c, identity|columns}, "canonical", "max_reprobe",
+    "reprobes" (jellyfish file_header.hpp:26-108).
+  * records, sorted by pos = matrix*key & (size-1) then by key: ceil(2k/8)
+    little-endian key bytes (key integer = first base most significant)
+    followed by counter_len little-endian count bytes, saturating
+    (jellyfish binary_dumper.hpp:19-41,112-213).
+
+Reading ignores the matrix (keys are stored in full); writing emits an
+identity matrix1 (a layout real jellyfish itself uses for small keys,
+large_hash_array.hpp:998-1001), so `jellyfish query/histo/dump` work on our
+files.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+
+import numpy as np
+
+from jasper_tpu.ops.gf2 import GF2Matrix
+from jasper_tpu.ops.kmer import key_bytes, words_per_kmer
+
+FORMAT = "binary/sorted"
+_QUADRATIC_REPROBES = [1]  # placeholder reprobe table for our headers
+
+
+class JFHeader(dict):
+    @property
+    def k(self) -> int:
+        return int(self["key_len"]) // 2
+
+
+def _read_header(f) -> JFHeader:
+    digits = f.read(9)
+    if len(digits) != 9 or not digits.isdigit():
+        raise ValueError("not a jellyfish file (bad header length field)")
+    hlen = int(digits)
+    raw = f.read(hlen)
+    raw = raw.rstrip(b"\x00")
+    return JFHeader(json.loads(raw))
+
+
+def read_jf(path: str):
+    """-> (k, keys uint32 [N, W], counts uint64 [N], header)."""
+    with open(path, "rb") as f:
+        header = _read_header(f)
+        if header.get("format") != FORMAT:
+            raise ValueError(f"unsupported .jf format {header.get('format')!r}")
+        k = header.k
+        kb = key_bytes(k)
+        cl = int(header["counter_len"])
+        rec = kb + cl
+        data = f.read()
+    if len(data) % rec != 0:
+        raise ValueError(f"{path}: data size {len(data)} not a multiple of record {rec}")
+    n = len(data) // rec
+    W = words_per_kmer(k)
+    arr = np.frombuffer(data, dtype=np.uint8).reshape(n, rec)
+    keyb = np.zeros((n, 4 * W), dtype=np.uint8)
+    keyb[:, :kb] = arr[:, :kb]
+    keys = keyb.view("<u4").reshape(n, W)
+    cntb = np.zeros((n, 8), dtype=np.uint8)
+    cntb[:, :cl] = arr[:, kb:]
+    counts = cntb.view("<u8").reshape(n)
+    return k, keys, counts, header
+
+
+def write_jf(
+    path: str,
+    k: int,
+    keys: np.ndarray,
+    counts: np.ndarray,
+    counter_len: int = 4,
+    size: int | None = None,
+    canonical: bool = True,
+    extra_header: dict | None = None,
+):
+    """Write a binary/sorted .jf readable by real jellyfish.
+
+    keys: uint32 [N, W]; counts saturate at 2^(8*counter_len)-1 like the
+    reference binary_writer (binary_dumper.hpp:36-40).
+    """
+    n = keys.shape[0]
+    W = words_per_kmer(k)
+    kb = key_bytes(k)
+    if size is None:
+        size = 1 << max(4, math.ceil(math.log2(max(n, 1) * 2)))
+    lsize = int(math.log2(size))
+    matrix = GF2Matrix.identity(lsize, 2 * k)
+
+    pos = matrix.times_words(keys)
+    # sort by (pos, key) — key compared MSB-first == word-wise from the top
+    order_cols = [keys[:, j] for j in range(W)] + [pos]
+    order = np.lexsort(order_cols)
+    skeys = keys[order]
+    scounts = np.asarray(counts, dtype=np.uint64)[order]
+
+    max_val = np.uint64((1 << (8 * counter_len)) - 1)
+    scounts = np.minimum(scounts, max_val)
+
+    header = {
+        "alignment": 8,
+        "canonical": bool(canonical),
+        "counter_len": int(counter_len),
+        "format": FORMAT,
+        "key_len": 2 * k,
+        "matrix1": matrix.to_header_json(),
+        "max_reprobe": 0,
+        "reprobes": _QUADRATIC_REPROBES,
+        "size": int(size),
+        "val_len": 8 * counter_len,
+    }
+    if extra_header:
+        header.update(extra_header)
+    hjson = json.dumps(header, separators=(",", ":"), sort_keys=True).encode()
+    pad = (9 + len(hjson)) % 8
+    padlen = (8 - pad) if pad else 0
+    hlen = len(hjson) + padlen
+
+    keyb = np.ascontiguousarray(skeys).view("<u4").astype("<u4").tobytes()
+    keyb = np.frombuffer(keyb, dtype=np.uint8).reshape(n, 4 * W)[:, :kb]
+    cntb = scounts.astype("<u8").view(np.uint8).reshape(n, 8)[:, :counter_len]
+    recs = np.concatenate([keyb, cntb], axis=1)
+
+    with open(path, "wb") as f:
+        f.write(b"%09d" % hlen)
+        f.write(hjson)
+        f.write(b"\x00" * padlen)
+        f.write(recs.tobytes())
+
+
+def load_jf_into_host_table(path: str, load_factor: float = 0.6):
+    """.jf -> HostKmerTable (bulk vectorized build)."""
+    from jasper_tpu.table.host_table import HostKmerTable
+    from jasper_tpu.table.kmer_table import slots_for
+
+    k, keys, counts, header = read_jf(path)
+    tab = HostKmerTable.empty(k, slots_for(len(keys), load_factor))
+    tab.insert_np(keys, np.minimum(counts, 0xFFFFFFFF).astype(np.uint32))
+    return tab, header
+
+
+def dump_table_to_jf(path: str, host_table, counter_len: int = 4, **kw):
+    keys, counts = host_table.items()
+    write_jf(path, host_table.k, keys, counts.astype(np.uint64), counter_len=counter_len, **kw)

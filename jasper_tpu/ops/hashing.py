@@ -1,0 +1,51 @@
+"""Table hash over k-mer key words (murmur3-32 style, xp-parameterized).
+
+This is the *internal* hash of the in-HBM count table; it is independent of
+the GF(2) matrix hash the reference uses for .jf file ordering (that lives in
+jasper_tpu.ops.gf2 and is only needed for .jf interchange). A multiplicative
+mix is a handful of VPU ops per key — far cheaper on TPU than the reference's
+column-XOR loop (jellyfish rectangular_binary_matrix.hpp:224-252) and equally
+uniform for open addressing.
+
+Implemented identically for numpy and jax.numpy; all arithmetic is uint32
+with wraparound.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_C1 = 0xCC9E2D51
+_C2 = 0x1B873593
+_SEED = 0x6A737072  # "jspr"
+
+
+def _rotl(xp, x, r: int):
+    u = xp.uint32
+    return ((x << u(r)) | (x >> u(32 - r))).astype(xp.uint32)
+
+
+def mix32(xp, words):
+    """murmur3-32 body+fmix over uint32 word array [..., W] -> uint32 [...]."""
+    u = xp.uint32
+    h = xp.full(words.shape[:-1], _SEED, dtype=xp.uint32)
+    W = words.shape[-1]
+    for j in range(W):
+        kx = (words[..., j].astype(xp.uint32) * u(_C1)).astype(xp.uint32)
+        kx = _rotl(xp, kx, 15)
+        kx = (kx * u(_C2)).astype(xp.uint32)
+        h = h ^ kx
+        h = _rotl(xp, h, 13)
+        h = (h * u(5) + u(0xE6546B64)).astype(xp.uint32)
+    h = h ^ u(4 * W)
+    h = h ^ (h >> u(16))
+    h = (h * u(0x85EBCA6B)).astype(xp.uint32)
+    h = h ^ (h >> u(13))
+    h = (h * u(0xC2B2AE35)).astype(xp.uint32)
+    h = h ^ (h >> u(16))
+    return h
+
+
+def hash_words_np(words: np.ndarray) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        return mix32(np, words.astype(np.uint32))

@@ -1,0 +1,126 @@
+"""Counting pipeline vs a pure-python oracle (the analog of the reference's
+golden histogram tests, jellyfish tests/parallel_hashing.sh: same counts
+regardless of chunking)."""
+
+import gzip
+
+import numpy as np
+import pytest
+
+from jasper_tpu.count.counter import count_reads, count_sequences
+from jasper_tpu.count.histogram import histogram_rows, threshold_from_histogram
+from jasper_tpu.io.fastx import iter_reads, read_fasta, stream_codes, write_fasta
+from jasper_tpu.ops.codes import canonical_str
+from jasper_tpu.table import HostKmerTable
+
+
+def oracle_counts(seqs, k):
+    d = {}
+    for s in seqs:
+        for i in range(len(s) - k + 1):
+            mer = s[i : i + k]
+            if any(c not in "ACGTacgt" for c in mer):
+                continue
+            c = canonical_str(mer)
+            d[c] = d.get(c, 0) + 1
+    return d
+
+
+def check_table_matches(tab_dev, k, truth):
+    host = HostKmerTable(k, np.asarray(tab_dev))
+    keys, counts = host.items()
+    assert len(keys) == len(truth)
+    got = {}
+    from jasper_tpu.ops.kmer import int_to_kmer, words_to_int
+
+    for i in range(len(keys)):
+        got[int_to_kmer(words_to_int(keys[i]), k)] = int(counts[i])
+    assert got == truth
+
+
+@pytest.mark.parametrize("k", [7, 25])
+def test_count_sequences_vs_oracle(k):
+    rng = np.random.default_rng(k)
+    seqs = [
+        "".join(rng.choice(list("ACGTN"), p=[0.24, 0.24, 0.24, 0.24, 0.04]) for _ in range(rng.integers(k - 3, 200)))
+        for _ in range(50)
+    ]
+    tab = count_sequences(seqs, k, n_slots=1 << 14)
+    check_table_matches(tab, k, oracle_counts(seqs, k))
+
+
+def test_count_reads_chunked_fastq_gz(tmp_path):
+    """Small chunk_len forces many seams; counts must not change."""
+    k = 11
+    rng = np.random.default_rng(1)
+    reads = ["".join(rng.choice(list("ACGT")) for _ in range(rng.integers(20, 90))) for _ in range(120)]
+    fq = tmp_path / "reads.fastq.gz"
+    with gzip.open(fq, "wt") as f:
+        for i, r in enumerate(reads):
+            f.write(f"@r{i} extra\n{r}\n+\n{'I' * len(r)}\n")
+    tab = count_reads([str(fq)], k, n_slots=1 << 14, chunk_len=256)
+    check_table_matches(tab, k, oracle_counts(reads, k))
+
+
+def test_iter_reads_fasta_multiline(tmp_path):
+    fa = tmp_path / "r.fa"
+    fa.write_text(">a desc\nACGT\nACGT\n>b\nGGGG\n>empty\n>c\nTT\n")
+    assert list(iter_reads(str(fa))) == ["ACGTACGT", "GGGG", "", "TT"]
+
+
+def test_read_write_fasta_roundtrip(tmp_path):
+    seqs = {"ctg1": "ACGT" * 40, "ctg2": "A" * 61, "ctg3": ""}
+    p = tmp_path / "x.fa"
+    write_fasta(str(p), seqs)
+    back = read_fasta(str(p))
+    assert back == seqs
+    # 60-col wrapping
+    lines = p.read_text().splitlines()
+    assert max(len(l) for l in lines) == 60  # seq lines wrapped at 60
+    assert lines[1] == "ACGT" * 15
+
+
+def test_stream_codes_covers_all_kmers(tmp_path):
+    k = 9
+    rng = np.random.default_rng(2)
+    reads = ["".join(rng.choice(list("ACGT")) for _ in range(30)) for _ in range(40)]
+    fa = tmp_path / "r.fa"
+    with open(fa, "w") as f:
+        for i, r in enumerate(reads):
+            f.write(f">r{i}\n{r}\n")
+    truth = oracle_counts(reads, k)
+    from jasper_tpu.ops.kmer import canonical_windows, int_to_kmer, words_to_int
+
+    got = {}
+    for codes, fill in stream_codes([str(fa)], k, chunk_len=64):
+        keys, valid = canonical_windows(np, codes, k)
+        for i in range(len(valid)):
+            if valid[i]:
+                mer = int_to_kmer(words_to_int(keys[i]), k)
+                got[mer] = got.get(mer, 0) + 1
+    assert got == truth
+
+
+def test_threshold_walk():
+    # descending then rising: local min at bin 8 -> threshold 4
+    rows = [(1, 1000), (2, 500), (4, 100), (8, 40), (9, 90)]
+    assert threshold_from_histogram(rows) == 4
+    # local min too low
+    assert threshold_from_histogram([(1, 100), (2, 50), (3, 80)]) is None
+    # monotonic: never rises
+    assert threshold_from_histogram([(1, 100), (2, 50), (3, 10)]) is None
+    # flat continues descent (count >= freq)
+    rows = [(1, 100), (5, 50), (6, 50), (10, 60)]
+    assert threshold_from_histogram(rows) == 3
+
+
+def test_histogram_rows_from_table():
+    k = 7
+    seqs = ["ACGTACGTACGT"]
+    tab = count_sequences(seqs, k, n_slots=256)
+    rows = histogram_rows(tab)
+    truth = oracle_counts(seqs, k)
+    import collections
+
+    freq = collections.Counter(truth.values())
+    assert rows == sorted((c, n) for c, n in freq.items())

@@ -1,0 +1,130 @@
+"""Device/host k-mer table property tests vs a python-dict ground truth —
+the analog of the reference's multithreaded hash property test
+(jellyfish unit_tests/test_hash_counter.cc:17-100): random keys, duplicate
+inserts, accumulate, then compare every count."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from jasper_tpu.ops import codes
+from jasper_tpu.ops.kmer import canonical_windows, words_per_kmer
+from jasper_tpu.table import DeviceKmerTable, HostKmerTable, empty_table, insert_kmers, lookup_kmers
+from jasper_tpu.table.kmer_table import slots_for, table_histogram, table_stats
+
+
+def random_keys(rng, n, W, key_bits):
+    """Random uint32 key words with the top word masked to valid bits."""
+    keys = rng.integers(0, 2**32, size=(n, W), dtype=np.uint32)
+    top_bits = key_bits - 32 * (W - 1)
+    if top_bits < 32:
+        keys[:, W - 1] &= (1 << top_bits) - 1
+    return keys
+
+
+@pytest.mark.parametrize("k", [11, 25, 37])
+def test_insert_lookup_vs_dict(k):
+    rng = np.random.default_rng(k)
+    W = words_per_kmer(k)
+    n_distinct = 2000
+    pool = random_keys(rng, n_distinct, W, 2 * k)
+    truth = {}
+    tab = empty_table(k, slots_for(n_distinct))
+    for batch in range(4):
+        idx = rng.integers(0, n_distinct, size=3000)
+        keys = pool[idx]
+        counts = rng.integers(1, 5, size=3000).astype(np.uint32)
+        active = rng.random(3000) < 0.9
+        for i in range(3000):
+            if active[i]:
+                kk = keys[i].tobytes()
+                truth[kk] = truth.get(kk, 0) + int(counts[i])
+        tab, n_pending = jax.jit(insert_kmers, donate_argnums=0)(
+            tab, jnp.asarray(keys), jnp.asarray(counts), jnp.asarray(active)
+        )
+        assert int(n_pending) == 0
+
+    # query all distinct + some absent keys
+    absent = random_keys(rng, 500, W, 2 * k)
+    q = np.concatenate([pool, absent])
+    valid = np.ones(len(q), dtype=bool)
+    got = np.asarray(jax.jit(lookup_kmers)(tab, jnp.asarray(q), jnp.asarray(valid)))
+    for i in range(n_distinct):
+        assert got[i] == truth.get(pool[i].tobytes(), 0)
+    for i in range(500):
+        assert got[n_distinct + i] == truth.get(absent[i].tobytes(), 0)
+
+    # host mirror agrees
+    host = HostKmerTable(k, np.asarray(tab))
+    np.testing.assert_array_equal(host.lookup_words(q), got)
+
+    # invalid lanes return 0
+    got2 = np.asarray(
+        jax.jit(lookup_kmers)(tab, jnp.asarray(q), jnp.zeros(len(q), dtype=bool))
+    )
+    assert (got2 == 0).all()
+
+
+def test_table_overflow_reported():
+    k = 11
+    tab = empty_table(k, 16)
+    rng = np.random.default_rng(0)
+    keys = random_keys(rng, 64, words_per_kmer(k), 2 * k)
+    counts = np.ones(64, dtype=np.uint32)
+    tab, n_pending = jax.jit(insert_kmers, static_argnames="max_rounds")(
+        tab, jnp.asarray(keys), jnp.asarray(counts), jnp.ones(64, dtype=bool), max_rounds=64
+    )
+    assert int(n_pending) > 0  # 64 distinct keys cannot fit 16 slots
+
+
+def test_host_insert_matches_device():
+    k = 21
+    rng = np.random.default_rng(3)
+    W = words_per_kmer(k)
+    keys = random_keys(rng, 300, W, 2 * k)
+    counts = rng.integers(1, 10, size=300).astype(np.uint32)
+
+    tab = empty_table(k, 1024)
+    tab, pend = insert_kmers(tab, jnp.asarray(keys), jnp.asarray(counts), jnp.ones(300, bool))
+    assert int(pend) == 0
+    dev = HostKmerTable(k, np.asarray(tab))
+
+    host = HostKmerTable.empty(k, 1024)
+    host.insert_np(keys, counts)
+    np.testing.assert_array_equal(
+        host.lookup_words(keys), dev.lookup_words(keys)
+    )
+
+
+def test_query_codes_and_str():
+    k = 7
+    seq = "ACGTACGTTTGACGTACGGGNACGTACG"
+    c = codes.encode(seq)
+    keys, valid = canonical_windows(np, c, k)
+    host = HostKmerTable.empty(k, 256)
+    host.insert_np(keys[valid], np.ones(int(valid.sum()), dtype=np.uint32))
+    q = host.query_codes(c)
+    for i in range(len(seq) - k + 1):
+        mer = seq[i : i + k]
+        if "N" in mer:
+            assert q[i] == 0
+            assert host.query_str(mer) == 0
+        else:
+            assert q[i] >= 1
+            assert host.query_str(mer) == q[i]
+    assert host.query_str("ACG") == 0  # wrong length -> 0
+
+
+def test_stats_and_histogram():
+    k = 9
+    host_keys = random_keys(np.random.default_rng(5), 100, words_per_kmer(k), 2 * k)
+    counts = np.concatenate([np.ones(60), np.full(30, 2), np.full(10, 7)]).astype(np.uint32)
+    tab = empty_table(k, 256)
+    tab, pend = insert_kmers(tab, jnp.asarray(host_keys), jnp.asarray(counts), jnp.ones(100, bool))
+    assert int(pend) == 0
+    uniq, distinct, total, mx = table_stats(tab)
+    assert (int(uniq), int(distinct), int(total), int(mx)) == (60, 100, 60 + 60 + 70, 7)
+    hist = np.asarray(table_histogram(tab, max_count=5))
+    assert hist[1] == 60 and hist[2] == 30 and hist[5] == 10  # 7 clamps into bin 5
+    assert hist[0] == 0
