@@ -6,6 +6,13 @@ one mer at a time into a shared hash, fixed-size code chunks stream to the
 device, every window is extracted/canonicalized in vectorized form, and one
 batched insert accumulates the whole chunk (duplicates legal; see
 jasper_tpu.table.kmer_table).
+
+Sizing: the table grows by rebuild when occupancy would no longer guarantee
+room for a whole chunk of new keys — the TPU analog of jellyfish's
+cooperative size-doubling (hash_counter.hpp:178-238), except growth happens
+*before* an insert can fail, so inserts are never partially applied. The
+initial size comes from the jellyfish `-s` hint (reads bytes / 10,
+reference src/jasper.sh:82).
 """
 
 from __future__ import annotations
@@ -21,6 +28,8 @@ from jasper_tpu.io.fastx import stream_codes, total_file_bytes
 from jasper_tpu.ops.kmer import canonical_windows
 from jasper_tpu.table.kmer_table import empty_table, insert_kmers, slots_for
 
+GROW_LOAD_LIMIT = 0.8  # grow when occupancy + chunk windows would exceed this
+
 
 @functools.partial(jax.jit, static_argnames=("k",), donate_argnums=0)
 def count_chunk(tab, codes, k: int):
@@ -29,10 +38,46 @@ def count_chunk(tab, codes, k: int):
     codes: uint8 [chunk_len]; invalid windows (containing code >= 4, i.e. N
     separators / padding) are skipped, matching the reference mer_iterator's
     reset-on-invalid behavior (jellyfish mer_iterator.hpp:53-81).
+    Returns (tab, n_pending, n_placed).
     """
     keys, valid = canonical_windows(jnp, codes, k)
     ones = jnp.ones(keys.shape[0], dtype=jnp.uint32)
     return insert_kmers(tab, keys, ones, valid)
+
+
+@functools.partial(jax.jit, donate_argnums=0)
+def _reinsert(tab, keys, counts, active):
+    return insert_kmers(tab, keys, counts, active)
+
+
+def grow_table(tab, k: int, min_capacity: int):
+    """Rebuild the table with >= min_capacity keys of guaranteed room."""
+    arr = np.asarray(tab)
+    n_slots = arr.shape[0] - 1
+    W = arr.shape[1] - 1
+    occ = arr[:n_slots, W] != 0
+    keys = arr[:n_slots, :W][occ]
+    counts = arr[:n_slots, W][occ]
+    new_slots = slots_for(min_capacity, GROW_LOAD_LIMIT)
+    while new_slots <= n_slots:
+        new_slots *= 2
+    new_tab = empty_table(k, new_slots)
+    B = 1 << 21
+    for off in range(0, len(keys), B):
+        kk = keys[off : off + B]
+        pad = B - len(kk)
+        if pad:
+            kk = np.pad(kk, ((0, pad), (0, 0)))
+        cc = counts[off : off + B]
+        if pad:
+            cc = np.pad(cc, (0, pad))
+        act = np.zeros(B, dtype=bool)
+        act[: B - pad] = True
+        new_tab, n_pending, _ = _reinsert(
+            new_tab, jnp.asarray(kk), jnp.asarray(cc), jnp.asarray(act)
+        )
+        assert int(n_pending) == 0  # by construction: sized for all keys
+    return new_tab, new_slots
 
 
 def count_reads(
@@ -43,30 +88,29 @@ def count_reads(
     hash_size_hint: int | None = None,
     progress=None,
 ):
-    """Count canonical k-mers of all reads in `paths`.
-
-    hash_size_hint mirrors jellyfish's `-s` (reference src/jasper.sh:82 sizes
-    it as reads_bytes/10); n_slots overrides directly. Returns the device
-    table. Raises if the table fills (pre-size larger), the analog of a
-    failed cooperative resize.
-    """
+    """Count canonical k-mers of all reads in `paths`; returns the table."""
     paths = list(paths)
     if n_slots is None:
         if hash_size_hint is None:
             hash_size_hint = max(1024, total_file_bytes(paths) // 10)
-        n_slots = slots_for(hash_size_hint, load_factor=0.8)
+        n_slots = slots_for(max(hash_size_hint, chunk_len), GROW_LOAD_LIMIT)
     tab = empty_table(k, n_slots)
+    occupied = 0
     n_chunks = 0
+    n_windows = chunk_len - k + 1
     for codes, _fill in stream_codes(paths, k, chunk_len):
-        tab, n_pending = count_chunk(tab, jnp.asarray(codes), k)
+        if occupied + n_windows > GROW_LOAD_LIMIT * n_slots:
+            tab, n_slots = grow_table(tab, k, occupied + n_windows)
+        tab, n_pending, n_placed = count_chunk(tab, jnp.asarray(codes), k)
+        occupied += int(n_placed)
+        if int(n_pending):
+            raise RuntimeError(
+                f"k-mer table full ({n_slots} slots) despite capacity guarantee "
+                "— this is a bug"
+            )
         n_chunks += 1
-        if progress is not None and n_chunks % 16 == 0:
-            progress(n_chunks)
-    if n_chunks and int(n_pending) > 0:
-        raise RuntimeError(
-            f"k-mer table full ({n_slots} slots): {int(n_pending)} keys of the "
-            "last chunk unplaced; rerun with a larger hash size (-s)"
-        )
+        if progress is not None:
+            progress(n_chunks, occupied)
     return tab
 
 
@@ -82,7 +126,9 @@ def count_sequences(seqs: Iterable[str], k: int, n_slots: int = 1 << 16):
     if len(codes) < k:
         return empty_table(k, n_slots)
     tab = empty_table(k, n_slots)
-    tab, n_pending = count_chunk(tab, jnp.asarray(codes), k)
+    if len(codes) - k + 1 > GROW_LOAD_LIMIT * n_slots:
+        tab, n_slots = grow_table(tab, k, len(codes) - k + 1)
+    tab, n_pending, _ = count_chunk(tab, jnp.asarray(codes), k)
     if int(n_pending) > 0:
         raise RuntimeError("table full")
     return tab

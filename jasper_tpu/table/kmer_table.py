@@ -56,10 +56,10 @@ def insert_kmers(tab, keys, counts, active, max_rounds: int = 512):
     counts: uint32 [B]   (amount to add)
     active: bool   [B]   (False entries are ignored)
 
-    Returns (tab, n_pending): n_pending > 0 means the table filled up before
-    all keys were placed (caller must rebuild larger — the analog of
-    jellyfish's cooperative size-doubling, hash_counter.hpp:178-238, which we
-    deliberately avoid on-device: pre-size instead).
+    Returns (tab, n_pending, n_placed): n_pending > 0 means the table filled
+    up before all keys were placed (callers that pre-guarantee capacity — see
+    jasper_tpu.count.counter — never hit this); n_placed counts newly
+    occupied slots so callers can track occupancy without rescanning.
 
     The loop aborts early once no lane has resolved for 32 consecutive
     rounds (an overfull table would otherwise cycle every lane through every
@@ -76,11 +76,11 @@ def insert_kmers(tab, keys, counts, active, max_rounds: int = 512):
     counts = counts.astype(jnp.uint32)
 
     def cond(state):
-        tab, claim, pos, pending, r, stall = state
+        tab, claim, pos, pending, r, stall, placed = state
         return jnp.any(pending) & (r < max_rounds) & (stall < 32)
 
     def body(state):
-        tab, claim, pos, pending, r, stall = state
+        tab, claim, pos, pending, r, stall, placed = state
         n_before = jnp.sum(pending)
         rows = jnp.take(tab, pos, axis=0, mode="clip")  # [B, W+1]
         occupied = rows[:, W] != 0
@@ -107,14 +107,16 @@ def insert_kmers(tab, keys, counts, active, max_rounds: int = 512):
         pos = jnp.where(is_coll, (pos + 1) & mask, pos)
         progressed = jnp.sum(pending) < n_before
         stall = jnp.where(progressed, jnp.uint32(0), stall + 1)
-        return tab, claim, pos, pending, r + 1, stall
+        placed = placed + jnp.sum(won.astype(jnp.uint32))
+        return tab, claim, pos, pending, r + 1, stall, placed
 
-    tab, claim, pos, pending, r, stall = jax.lax.while_loop(
-        cond, body, (tab, claim, pos, pending, jnp.uint32(0), jnp.uint32(0))
+    tab, claim, pos, pending, r, stall, placed = jax.lax.while_loop(
+        cond, body,
+        (tab, claim, pos, pending, jnp.uint32(0), jnp.uint32(0), jnp.uint32(0)),
     )
     # clear any scratch accumulated in the dummy row
     tab = tab.at[n_slots, :].set(0)
-    return tab, jnp.sum(pending.astype(jnp.uint32))
+    return tab, jnp.sum(pending.astype(jnp.uint32)), placed
 
 
 def lookup_kmers(tab, keys, valid, max_probes: int = 512):
@@ -206,7 +208,7 @@ class DeviceKmerTable:
         return self.tab.shape[1] - 1
 
     def insert(self, keys, counts, active):
-        self.tab, n_pending = _insert_jit(self.tab, keys, counts, active)
+        self.tab, n_pending, _ = _insert_jit(self.tab, keys, counts, active)
         return n_pending
 
     def lookup(self, keys, valid):

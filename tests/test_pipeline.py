@@ -1,0 +1,152 @@
+"""Pipeline driver tests: splitting/joining parity pieces, checkpoint
+markers, QV math, and a full end-to-end CLI run."""
+
+import gzip
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from tests import golden_util as G
+
+from jasper_tpu.io.fastx import read_fasta
+from jasper_tpu.pipeline.driver import (
+    _bc_trunc,
+    compute_batch_size,
+    join_fix_csvs,
+    qv_from_tallies,
+    run_pipeline,
+    split_batches,
+)
+
+
+@pytest.fixture
+def small_case(tmp_path):
+    rng = np.random.default_rng(21)
+    genome = G.random_genome(rng, 12000)
+    reads = G.tiled_reads(genome, read_len=120, stride=3)
+    draft, _ = G.inject_errors(genome, rng, n_each=1, spacing=900)
+    asm = tmp_path / "asm.fa"
+    G.write_fasta_file(asm, {"chrA": draft, "chrB": genome[2000:5000]})
+    rf = tmp_path / "reads.fq.gz"
+    with gzip.open(rf, "wt") as f:
+        for i, r in enumerate(reads):
+            f.write(f"@r{i}\n{r}\n+\n{'I' * len(r)}\n")
+    return tmp_path, asm, rf, genome, draft
+
+
+def test_split_and_join_roundtrip(tmp_path):
+    rng = np.random.default_rng(3)
+    seqs = {"c1": G.random_genome(rng, 2500), "c2": G.random_genome(rng, 900),
+            "c3": "A" * 10}
+    asm = tmp_path / "a.fa"
+    G.write_fasta_file(asm, seqs)
+    bs = 1000
+    paths = split_batches(str(asm), bs, str(tmp_path), "a.fa")
+    # chunks cover everything, headers are ctg:offset at bs strides
+    all_chunks = {}
+    for p in paths:
+        all_chunks.update(read_fasta(p))
+    assert set(all_chunks) == {"c1:0", "c1:1000", "c1:2000", "c2:0", "c3:0"}
+    assert all_chunks["c1:1000"] == seqs["c1"][1000:2000]
+
+    from jasper_tpu.pipeline.driver import join_polished
+
+    out = tmp_path / "joined.fa"
+    join_polished(paths, bs, list(seqs.keys()), str(out))
+    joined = read_fasta(str(out))
+    assert joined == seqs
+
+
+def test_compute_batch_size(tmp_path):
+    asm = tmp_path / "a.fa"
+    G.write_fasta_file(asm, {"c": "A" * 10000})
+    assert compute_batch_size(str(asm), 2, 0) == int(10000 / 2 * 0.9)
+    assert compute_batch_size(str(asm), 2, 7000) == 7000
+    # cap at 25MB would need a big file; trust the formula path
+
+
+def test_join_fix_csvs(tmp_path):
+    a = tmp_path / "_iter0_q.batch.0.fa.fix.csv"
+    b = tmp_path / "_iter0_q.batch.1.fa.fix.csv"
+    a.write_bytes(b"Contig Base_coord Original Mutation\r\nchrA:0 500 T sG\r\n")
+    b.write_bytes(b"Contig Base_coord Original Mutation\r\nchrA:1000 20 A d-\r\nchrA:0 30 C sT\r\n")
+    out = tmp_path / "fixes.csv"
+    join_fix_csvs([str(a), str(b)], str(out))
+    lines = out.read_bytes().split(b"\n")
+    # mangled header exactly as the awk chain produces it
+    assert lines[0] == b"Contig:Base_coord Original Mutation\r "
+    assert lines[1] == b"chrA:0 30 C sT\r"
+    assert lines[2] == b"chrA:0 500 T sG\r"
+    assert lines[3] == b"chrA:1000 20 A d-\r"
+
+
+def test_qv_math():
+    # bc truncation, not rounding
+    assert _bc_trunc(43.399999, 5) == "43.39999"
+    assert qv_from_tallies(0, 1000, 37) == "Inf"
+    q = qv_from_tallies(100, 10000, 37)
+    # closed form: err=1e-2 of kmers
+    import math
+
+    pgood = 1 - 100 / 10000
+    expect = -10 * math.log10(1 - math.exp(math.log(pgood) / 37))
+    assert abs(float(q) - expect) < 1e-4
+
+
+def test_pipeline_end_to_end(small_case):
+    tmp_path, asm, rf, genome, draft = small_case
+    wd = tmp_path / "run"
+    res = run_pipeline(
+        assembly=str(asm), reads=[str(rf)], k=17, threads=2, passes=2,
+        workdir=str(wd), batch=4000,
+    )
+    polished = read_fasta(res["polished"])
+    assert set(polished) == {"chrA", "chrB"}
+    assert polished["chrB"] == genome[2000:5000]  # error-free contig untouched
+    assert polished["chrA"] == genome  # all injected errors fixed
+    assert os.path.exists(res["fixes"])
+    assert os.path.exists(res["db"])
+    assert float(res["q_after"].replace("Inf", "99")) > float(
+        res["q_before"].replace("Inf", "99")
+    ) or res["q_after"] == "Inf"
+    # markers allow rerun to skip stages
+    assert os.path.exists(wd / "jasper.join.success")
+    res2 = run_pipeline(
+        assembly=str(asm), reads=[str(rf)], k=17, threads=2, passes=2,
+        workdir=str(wd), batch=4000,
+    )
+    assert read_fasta(res2["polished"]) == polished
+
+
+def test_cli_end_to_end(small_case):
+    tmp_path, asm, rf, genome, draft = small_case
+    wd = tmp_path / "cli_run"
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = str(G.REPO)
+    r = subprocess.run(
+        [sys.executable, str(G.REPO / "bin" / "jasper-tpu"),
+         "-a", str(asm), "-r", str(rf), "-k", "17", "-p", "1",
+         "--workdir", str(wd)],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "Before Polishing: Q value" in r.stdout
+    assert "After Polishing: Q value" in r.stdout
+    assert (wd / "asm.fa.polished.fasta").exists()
+    assert (wd / "asm.fa.fixes.csv").exists()
+
+
+def test_cli_errors(tmp_path):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run(
+        [sys.executable, str(G.REPO / "bin" / "jasper-tpu"),
+         "-a", str(tmp_path / "missing.fa"), "-r", "x"],
+        capture_output=True, text=True, timeout=120, env=env,
+    )
+    assert r.returncode == 1
+    assert "query file does not exist" in r.stderr

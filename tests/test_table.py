@@ -40,7 +40,7 @@ def test_insert_lookup_vs_dict(k):
             if active[i]:
                 kk = keys[i].tobytes()
                 truth[kk] = truth.get(kk, 0) + int(counts[i])
-        tab, n_pending = jax.jit(insert_kmers, donate_argnums=0)(
+        tab, n_pending, _ = jax.jit(insert_kmers, donate_argnums=0)(
             tab, jnp.asarray(keys), jnp.asarray(counts), jnp.asarray(active)
         )
         assert int(n_pending) == 0
@@ -72,7 +72,7 @@ def test_table_overflow_reported():
     rng = np.random.default_rng(0)
     keys = random_keys(rng, 64, words_per_kmer(k), 2 * k)
     counts = np.ones(64, dtype=np.uint32)
-    tab, n_pending = jax.jit(insert_kmers, static_argnames="max_rounds")(
+    tab, n_pending, placed = jax.jit(insert_kmers, static_argnames="max_rounds")(
         tab, jnp.asarray(keys), jnp.asarray(counts), jnp.ones(64, dtype=bool), max_rounds=64
     )
     assert int(n_pending) > 0  # 64 distinct keys cannot fit 16 slots
@@ -86,7 +86,7 @@ def test_host_insert_matches_device():
     counts = rng.integers(1, 10, size=300).astype(np.uint32)
 
     tab = empty_table(k, 1024)
-    tab, pend = insert_kmers(tab, jnp.asarray(keys), jnp.asarray(counts), jnp.ones(300, bool))
+    tab, pend, _ = insert_kmers(tab, jnp.asarray(keys), jnp.asarray(counts), jnp.ones(300, bool))
     assert int(pend) == 0
     dev = HostKmerTable(k, np.asarray(tab))
 
@@ -121,7 +121,7 @@ def test_stats_and_histogram():
     host_keys = random_keys(np.random.default_rng(5), 100, words_per_kmer(k), 2 * k)
     counts = np.concatenate([np.ones(60), np.full(30, 2), np.full(10, 7)]).astype(np.uint32)
     tab = empty_table(k, 256)
-    tab, pend = insert_kmers(tab, jnp.asarray(host_keys), jnp.asarray(counts), jnp.ones(100, bool))
+    tab, pend, _ = insert_kmers(tab, jnp.asarray(host_keys), jnp.asarray(counts), jnp.ones(100, bool))
     assert int(pend) == 0
     uniq, distinct, total, mx = table_stats(tab)
     assert (int(uniq), int(distinct), int(total), int(mx)) == (60, 100, 60 + 60 + 70, 7)
