@@ -1,0 +1,88 @@
+"""Device bulk scan: per-position counts + classification flags for a window.
+
+This is the TPU hot path of polishing. The reference pays one Python->SWIG
+binary-search call per k-mer (reference src/jasper.py:70-71 ->
+jellyfish binary_dumper.hpp:148-189) and strides k-1 positions to amortize
+it; we instead compute the counts of EVERY position of a contig window in
+one batched lookup, so the host-side exact replay (jasper_tpu.polish.engine)
+consumes precomputed arrays and only novel candidate k-mers need further
+queries.
+
+Outputs per window position i (count of seq[i:i+k] canonical):
+  counts  uint32 — 0 for invalid windows (the scan skips those itself)
+  below   bool   — counts < solid_threshold (scan case j.py:73)
+  reldrop bool   — not below, i>0, and counts*divisor < counts[max(0,i-k)]
+                   (the relative-drop trigger, j.py:80)
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from jasper_tpu.ops.kmer import canonical_windows
+from jasper_tpu.table.kmer_table import lookup_kmers
+
+
+@functools.partial(jax.jit, static_argnames=("k", "divisor"))
+def scan_window(tab, codes, solid_threshold, k: int, divisor: int = 50):
+    """codes: uint8 [L] -> (counts, below, reldrop) each [L-k+1].
+
+    solid_threshold: scalar uint32 (device). Positions with invalid bases
+    get counts 0 and flags False.
+    """
+    keys, valid = canonical_windows(jnp, codes, k)
+    counts = lookup_kmers(tab, keys, valid)
+    thr = jnp.uint32(solid_threshold)
+    below = valid & (counts < thr)
+    n = counts.shape[0]
+    # counts[max(0, i-k)] without dynamic shapes: shift right by k, clamp head
+    idx = jnp.maximum(jnp.arange(n) - k, 0)
+    prev = counts[idx]
+    # occ < prev/divisor  <=>  occ*divisor < prev  (exact for uint in f64-free int math)
+    reldrop = (
+        valid
+        & ~below
+        & (jnp.arange(n) > 0)
+        & (counts.astype(jnp.uint32) * jnp.uint32(divisor) < prev.astype(jnp.uint32))
+    )
+    return counts, below, reldrop
+
+
+def scan_window_tiled(tab, codes, solid_threshold, k: int, tile: int = 1 << 20,
+                      divisor: int = 50):
+    """Host helper: scan an arbitrarily long code array in fixed tiles with
+    k-1 halo so jit only ever sees one shape. Returns numpy arrays [L-k+1].
+    """
+    import numpy as np
+
+    L = len(codes)
+    n = L - k + 1
+    if n <= 0:
+        return (np.zeros(0, np.uint32), np.zeros(0, bool), np.zeros(0, bool))
+    counts = np.empty(n, np.uint32)
+    below = np.empty(n, bool)
+    rel = np.empty(n, bool)
+    pos = 0
+    while pos < n:
+        m = min(tile, n - pos)
+        chunk = np.full(tile + k - 1, 255, dtype=np.uint8)
+        chunk[: m + k - 1] = codes[pos : pos + m + k - 1]
+        c, b, r = scan_window(tab, jnp.asarray(chunk), solid_threshold, k, divisor)
+        counts[pos : pos + m] = np.asarray(c)[:m]
+        below[pos : pos + m] = np.asarray(b)[:m]
+        rel[pos : pos + m] = np.asarray(r)[:m]
+        pos += m
+    # fix up reldrop at tile boundaries: prev index crosses tiles; recompute
+    # on host (cheap) for exactness
+    idx = np.maximum(np.arange(n) - k, 0)
+    prev = counts[idx]
+    rel = (
+        (counts > 0)
+        & ~below
+        & (np.arange(n) > 0)
+        & (counts.astype(np.uint64) * np.uint64(divisor) < prev.astype(np.uint64))
+    )
+    return counts, below, rel

@@ -70,9 +70,13 @@ def insert_kmers(tab, keys, counts, active, max_rounds: int = 512):
     mask = jnp.uint32(n_slots - 1)
     B = keys.shape[0]
     ids = jnp.arange(B, dtype=jnp.uint32)
-    pos = mix32(jnp, keys) & mask
-    pending = active
-    claim = jnp.full((n_slots + 1,), _EMPTY_CLAIM, dtype=jnp.uint32)
+    # derive a zero from `active` so every while-loop carry is device-varying
+    # under shard_map even when keys/tab are replicated (shard-map scan-vma)
+    vzero = active[0].astype(jnp.uint32) * jnp.uint32(0)
+    tab = tab | vzero
+    pos = (mix32(jnp, keys) & mask) | vzero
+    pending = active | (vzero != 0)
+    claim = jnp.full((n_slots + 1,), _EMPTY_CLAIM, dtype=jnp.uint32) | vzero
     counts = counts.astype(jnp.uint32)
 
     def cond(state):
@@ -112,7 +116,7 @@ def insert_kmers(tab, keys, counts, active, max_rounds: int = 512):
 
     tab, claim, pos, pending, r, stall, placed = jax.lax.while_loop(
         cond, body,
-        (tab, claim, pos, pending, jnp.uint32(0), jnp.uint32(0), jnp.uint32(0)),
+        (tab, claim, pos, pending, vzero, vzero, vzero),
     )
     # clear any scratch accumulated in the dummy row
     tab = tab.at[n_slots, :].set(0)
@@ -129,8 +133,9 @@ def lookup_kmers(tab, keys, valid, max_probes: int = 512):
     n_slots = tab.shape[0] - 1
     W = tab.shape[1] - 1
     mask = jnp.uint32(n_slots - 1)
-    pos = mix32(jnp, keys) & mask
-    res = jnp.zeros(keys.shape[0], dtype=jnp.uint32)
+    vzero = valid[0].astype(jnp.uint32) * jnp.uint32(0)
+    pos = (mix32(jnp, keys) & mask) | vzero
+    res = jnp.zeros(keys.shape[0], dtype=jnp.uint32) | vzero
     pending = valid
 
     def cond(state):
@@ -152,7 +157,7 @@ def lookup_kmers(tab, keys, valid, max_probes: int = 512):
         return pos, res, pending, r + 1, stall
 
     pos, res, pending, r, stall = jax.lax.while_loop(
-        cond, body, (pos, res, pending, jnp.uint32(0), jnp.uint32(0))
+        cond, body, (pos, res, pending, vzero, vzero)
     )
     return res
 
