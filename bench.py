@@ -11,14 +11,19 @@ realistic workload: a table holding the canonical 37-mers of a synthetic
 genome, scanned over a mutated draft (~0.1% substitutions), so probes are a
 mix of hits and misses like real polishing.
 
+Timing notes for this environment: the axon tunnel backend does not reliably
+block in block_until_ready, and every distinct jitted program pays a slow
+remote compile. The bench therefore (a) returns a checksum scalar from
+inside the timed jit and syncs with np.asarray on it, and (b) enables the
+persistent compilation cache.
+
 vs_baseline compares against the reference's query path measured on this
 host (jellyfish binary_query_base interpolated binary search via the real
-SWIG module, scaled to the reference's default 16-thread deployment); the
-measured constant lives in bench_baseline.json (see tools/measure_baseline.py).
+SWIG module, x16 for the reference's 16-process deployment); the measured
+constant lives in bench_baseline.json (see tools/measure_baseline.py).
 """
 
 import json
-import math
 import os
 import sys
 import time
@@ -31,7 +36,7 @@ GENOME_BASES = 4_000_000
 TILE = 1 << 20  # windows per device call
 ITERS = 8
 K = 37
-DEFAULT_BASELINE_LOOKUPS_PER_SEC = 16 * 1.1e6  # estimate; overridden by file
+DEFAULT_BASELINE_LOOKUPS_PER_SEC = 4.03e6  # measured: see bench_baseline.json
 
 
 def load_baseline():
@@ -45,6 +50,16 @@ def load_baseline():
 
 def main():
     import jax
+
+    try:
+        cache = os.path.expanduser("~/.cache/jax_comp")
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
 
     from jasper_tpu.ops.kmer import canonical_windows
@@ -54,21 +69,30 @@ def main():
     rng = np.random.default_rng(0)
     genome = rng.integers(0, 4, size=GENOME_BASES).astype(np.uint8)
 
-    # build the table from the genome's canonical k-mers
+    @jax.jit
+    def build_step(tab, chunk):
+        keys, valid = canonical_windows(jnp, chunk, K)
+        tab, pend, placed = insert_kmers(
+            tab, keys, jnp.full(keys.shape[0], 30, jnp.uint32), valid
+        )
+        return tab, pend
+
+    @jax.jit
+    def scan_step(tab, tile, thre):
+        counts, below, rel = scan_window(tab, tile, thre, k=K)
+        return counts.sum(dtype=jnp.uint32) ^ below.sum(dtype=jnp.uint32)
+
     n_slots = slots_for(GENOME_BASES, 0.5)
     tab = empty_table(K, n_slots)
-    insert = jax.jit(insert_kmers, donate_argnums=0)
-    step = TILE
     t_build = time.time()
+    step = TILE
     for off in range(0, GENOME_BASES - K + 1, step):
         end = min(off + step + K - 1, GENOME_BASES)
         chunk = np.full(step + K - 1, 4, dtype=np.uint8)
         chunk[: end - off] = genome[off:end]
-        keys, valid = canonical_windows(jnp, jnp.asarray(chunk), K)
-        tab, pend, _ = insert(tab, keys, jnp.full(keys.shape[0], 30, jnp.uint32), valid)
-    jax.block_until_ready(tab)
+        tab, pend = build_step(tab, jnp.asarray(chunk))
+    assert int(np.asarray(pend)) == 0
     t_build = time.time() - t_build
-    assert int(pend) == 0
 
     # draft with ~0.1% substitutions
     draft = genome.copy()
@@ -76,24 +100,23 @@ def main():
     pos = rng.choice(GENOME_BASES, size=n_err, replace=False)
     draft[pos] = (draft[pos] + rng.integers(1, 4, size=n_err)) % 4
 
-    tiles = []
-    for off in range(0, GENOME_BASES - TILE - K, TILE):
-        tiles.append(jnp.asarray(draft[off : off + TILE + K - 1]))
-        if len(tiles) >= 4:
-            break
+    tiles = [
+        jnp.asarray(draft[off : off + TILE + K - 1])
+        for off in range(0, min(4 * TILE, GENOME_BASES - TILE - K), TILE)
+    ]
     thre = jnp.uint32(15)
 
-    # warmup/compile
-    out = scan_window(tab, tiles[0], thre, k=K)
-    jax.block_until_ready(out)
+    # warmup/compile + sync
+    np.asarray(scan_step(tab, tiles[0], thre))
 
     t0 = time.time()
     n_lookups = 0
+    out = None
     for it in range(ITERS):
         for tile in tiles:
-            out = scan_window(tab, tile, thre, k=K)
+            out = scan_step(tab, tile, thre)
             n_lookups += TILE
-    jax.block_until_ready(out)
+    np.asarray(out)  # hard sync: transfer the checksum
     dt = time.time() - t0
     rate = n_lookups / dt
 

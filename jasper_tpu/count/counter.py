@@ -52,14 +52,19 @@ def _reinsert(tab, keys, counts, active):
 
 def grow_table(tab, k: int, min_capacity: int):
     """Rebuild the table with >= min_capacity keys of guaranteed room."""
+    from jasper_tpu.ops.kmer import words_per_kmer
+    from jasper_tpu.table.kmer_table import slot_words_for, table_capacity
+
     arr = np.asarray(tab)
-    n_slots = arr.shape[0] - 1
-    W = arr.shape[1] - 1
-    occ = arr[:n_slots, W] != 0
-    keys = arr[:n_slots, :W][occ]
-    counts = arr[:n_slots, W][occ]
+    W = words_per_kmer(k)
+    sw = slot_words_for(W)
+    flat = arr.reshape(-1, sw)
+    occ = flat[:, sw - 1] != 0
+    keys = flat[occ][:, :W]
+    counts = flat[occ][:, sw - 1]
+    old_capacity = table_capacity(tab, k)
     new_slots = slots_for(min_capacity, GROW_LOAD_LIMIT)
-    while new_slots <= n_slots:
+    while new_slots <= old_capacity:
         new_slots *= 2
     new_tab = empty_table(k, new_slots)
     B = 1 << 21
@@ -95,12 +100,16 @@ def count_reads(
             hash_size_hint = max(1024, total_file_bytes(paths) // 10)
         n_slots = slots_for(max(hash_size_hint, chunk_len), GROW_LOAD_LIMIT)
     tab = empty_table(k, n_slots)
+    from jasper_tpu.table.kmer_table import table_capacity
+
+    capacity = table_capacity(tab, k)
     occupied = 0
     n_chunks = 0
     n_windows = chunk_len - k + 1
     for codes, _fill in stream_codes(paths, k, chunk_len):
-        if occupied + n_windows > GROW_LOAD_LIMIT * n_slots:
+        if occupied + n_windows > GROW_LOAD_LIMIT * capacity:
             tab, n_slots = grow_table(tab, k, occupied + n_windows)
+            capacity = table_capacity(tab, k)
         tab, n_pending, n_placed = count_chunk(tab, jnp.asarray(codes), k)
         occupied += int(n_placed)
         if int(n_pending):
@@ -126,7 +135,9 @@ def count_sequences(seqs: Iterable[str], k: int, n_slots: int = 1 << 16):
     if len(codes) < k:
         return empty_table(k, n_slots)
     tab = empty_table(k, n_slots)
-    if len(codes) - k + 1 > GROW_LOAD_LIMIT * n_slots:
+    from jasper_tpu.table.kmer_table import table_capacity
+
+    if len(codes) - k + 1 > GROW_LOAD_LIMIT * table_capacity(tab, k):
         tab, n_slots = grow_table(tab, k, len(codes) - k + 1)
     tab, n_pending, _ = count_chunk(tab, jnp.asarray(codes), k)
     if int(n_pending) > 0:

@@ -22,9 +22,9 @@ from jasper_tpu.table.kmer_table import table_histogram
 HISTO_HIGH = 10000
 
 
-def histogram_rows(tab, high: int = HISTO_HIGH) -> list[tuple[int, int]]:
+def histogram_rows(tab, k: int, high: int = HISTO_HIGH) -> list[tuple[int, int]]:
     """Nonzero (col, freq) rows exactly as `jellyfish histo` prints them."""
-    hist = np.asarray(table_histogram(tab, max_count=high + 1))
+    hist = np.asarray(table_histogram(tab, max_count=high + 1, k=k))
     return [(int(c), int(hist[c])) for c in range(1, high + 2) if hist[c] > 0]
 
 

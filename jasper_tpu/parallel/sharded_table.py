@@ -61,9 +61,14 @@ def build_sharded(mesh: Mesh, keys, counts, local_slots: int):
     polishing). Returns uint32 [D_total, local_slots+1, W+1] sharded along
     axis 0 over ("data","table"); shards are identical across "data".
     """
+    from jasper_tpu.table.kmer_table import PAD_BUCKETS, ROW_U32, slot_words_for
+
     D = mesh.shape["table"]
     shift = _owner_shift(D)
     W = keys.shape[1]
+    sw = slot_words_for(W)
+    n_buckets = max(1, local_slots // (ROW_U32 // sw))
+    local_shape = (n_buckets + PAD_BUCKETS, ROW_U32)
     keys = jnp.asarray(keys)
     counts = jnp.asarray(counts, dtype=jnp.uint32)
 
@@ -72,7 +77,7 @@ def build_sharded(mesh: Mesh, keys, counts, local_slots: int):
         h = mix32(jnp, keys)
         owner = (h >> jnp.uint32(shift)) if D > 1 else jnp.zeros_like(h)
         mine = owner == me
-        tab = jnp.zeros((local_slots + 1, W + 1), dtype=jnp.uint32)
+        tab = jnp.zeros(local_shape, dtype=jnp.uint32)
         tab, n_pending, _ = insert_kmers(tab, keys, counts, mine)
         return tab[None], n_pending[None]
 

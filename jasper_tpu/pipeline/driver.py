@@ -339,7 +339,7 @@ def run_pipeline(
             tab = count_reads(reads, k, hash_size_hint=max(jf_size, 1024))
             host_table = HostKmerTable(k, np.asarray(tab))
             dump_table_to_jf(jf_db, host_table)
-            write_histogram(histo_csv, histogram_rows(tab))
+            write_histogram(histo_csv, histogram_rows(tab, k))
             del tab
             _touch(_marker(workdir, "no_cat"))
             _touch(_marker(workdir, "histo"))
@@ -444,7 +444,8 @@ def run_pipeline(
 
 
 def _host_histogram(host_table, high: int = 10000):
-    counts = host_table.tab[: host_table.n_slots, host_table.W]
+    sw = host_table.sw
+    counts = host_table.tab.reshape(-1, sw)[:, sw - 1]
     occ = counts != 0
     clipped = np.minimum(counts[occ].astype(np.int64), high + 1)
     hist = np.bincount(clipped, minlength=high + 2)

@@ -1,4 +1,4 @@
-"""Host (numpy) mirror of the device k-mer table.
+"""Host (numpy) mirror of the device k-mer table (bucketed layout).
 
 Serves the serial host paths that the reference runs through SWIG one call at
 a time (reference src/jasper.py:70-71 -> jellyfish binary_query_base):
@@ -15,86 +15,98 @@ import numpy as np
 from jasper_tpu.ops import codes as codes_mod
 from jasper_tpu.ops.hashing import hash_words_np
 from jasper_tpu.ops.kmer import canonical_windows, words_per_kmer
-
-_EMPTY = 0
+from jasper_tpu.table.kmer_table import PAD_BUCKETS, ROW_U32, slot_words_for
 
 
 class HostKmerTable:
     def __init__(self, k: int, tab: np.ndarray):
         self.k = int(k)
         self.W = words_per_kmer(k)
-        assert tab.shape[1] == self.W + 1
+        self.sw = slot_words_for(self.W)
+        self.slots = ROW_U32 // self.sw
+        assert tab.shape[1] == ROW_U32
         self.tab = tab
-        self.n_slots = tab.shape[0] - 1
-        self.mask = np.uint32(self.n_slots - 1)
+        self.n_buckets = tab.shape[0] - PAD_BUCKETS
+        self.bmask = np.uint32(self.n_buckets - 1)
 
     # -- construction -------------------------------------------------------
 
     @classmethod
     def empty(cls, k: int, n_slots: int) -> "HostKmerTable":
         W = words_per_kmer(k)
-        return cls(k, np.zeros((n_slots + 1, W + 1), dtype=np.uint32))
+        sw = slot_words_for(W)
+        n_buckets = max(1, n_slots // (ROW_U32 // sw))
+        assert n_buckets & (n_buckets - 1) == 0
+        return cls(k, np.zeros((n_buckets + PAD_BUCKETS, ROW_U32), dtype=np.uint32))
 
     def insert_np(self, keys: np.ndarray, counts: np.ndarray) -> None:
-        """Vectorized host insert (same claim-round algorithm as the device
-        build in jasper_tpu.table.kmer_table). keys uint32 [B, W], counts
-        uint32 [B]; keys may repeat (counts accumulate)."""
-        W = self.W
-        tab = self.tab
-        n = self.n_slots
+        """Vectorized host insert (bucket-granular claim rounds, same
+        algorithm as the device build). keys uint32 [B, W], counts uint32
+        [B]; keys may repeat (counts accumulate)."""
+        W, sw, S = self.W, self.sw, self.slots
         B = keys.shape[0]
         keys = np.ascontiguousarray(keys, dtype=np.uint32)
         counts = np.asarray(counts, dtype=np.uint32)
+        flat = self.tab.reshape(-1, sw)
         ids = np.arange(B, dtype=np.uint32)
-        pos = (hash_words_np(keys) & self.mask).astype(np.int64)
+        home = (hash_words_np(keys) & self.bmask).astype(np.int64)
+        off = np.zeros(B, dtype=np.int64)
         pending = np.ones(B, dtype=bool)
-        claim = np.full(n + 1, 0xFFFFFFFF, dtype=np.uint32)
+        claim = np.full(flat.shape[0], 0xFFFFFFFF, dtype=np.uint32)
         rounds = 0
         while pending.any():
-            rows = tab[pos]
-            occupied = rows[:, W] != _EMPTY
-            key_match = (rows[:, :W] == keys).all(axis=-1)
-            is_match = pending & occupied & key_match
-            is_empty = pending & ~occupied
-            is_coll = pending & occupied & ~key_match
+            b = home + off
+            rows = self.tab[b].reshape(-1, S, sw)
+            occ = rows[:, :, sw - 1] != 0
+            key_eq = (rows[:, :, :W] == keys[:, None, :]).all(axis=-1) & occ
+            hit_slot = key_eq.argmax(axis=1)
+            is_match = pending & key_eq.any(axis=1)
+            has_empty = (~occ).any(axis=1)
+            first_empty = (~occ).argmax(axis=1)
+            is_empty = pending & ~is_match & has_empty
+            is_full = pending & ~is_match & ~has_empty
+            if (is_full & (off >= PAD_BUCKETS)).any():
+                raise RuntimeError("host table full (probe ran past pad)")
 
-            np.add.at(tab[:, W], pos[is_match], counts[is_match])
+            np.add.at(flat[:, sw - 1], b[is_match] * S + hit_slot[is_match],
+                      counts[is_match])
 
-            ep = pos[is_empty]
-            np.minimum.at(claim, ep, ids[is_empty])
-            won = is_empty & (claim[pos] == ids)
-            wp = pos[won]
-            tab[wp, :W] = keys[won]
-            tab[wp, W] = counts[won]
-            claim[ep] = 0xFFFFFFFF
+            tgt = b * S + first_empty
+            np.minimum.at(claim, tgt[is_empty], ids[is_empty])
+            won = is_empty & (claim[tgt] == ids)
+            wt = tgt[won]
+            flat[wt, :W] = keys[won]
+            flat[wt, sw - 1] = counts[won]
+            claim[tgt[is_empty]] = 0xFFFFFFFF
 
             pending = pending & ~is_match & ~won
-            pos[is_coll] = (pos[is_coll] + 1) & int(self.mask)
+            off[is_full] += 1
             rounds += 1
-            if rounds > n + 64:
-                raise RuntimeError("host table full")
+            if rounds > self.n_buckets * S + 64:
+                raise RuntimeError("host insert did not terminate")
 
     # -- queries ------------------------------------------------------------
 
     def lookup_words(self, keys: np.ndarray, valid: np.ndarray | None = None) -> np.ndarray:
         """Vectorized probe, same algorithm as the device lookup."""
-        W = self.W
+        W, sw, S = self.W, self.sw, self.slots
         B = keys.shape[0]
-        pos = hash_words_np(keys) & self.mask
+        home = (hash_words_np(keys) & self.bmask).astype(np.int64)
         res = np.zeros(B, dtype=np.uint32)
         pending = np.ones(B, dtype=bool) if valid is None else valid.copy()
-        guard = 0
+        off = np.zeros(B, dtype=np.int64)
         while pending.any():
-            rows = self.tab[pos]
-            occupied = rows[:, W] != _EMPTY
-            key_match = (rows[:, :W] == keys).all(axis=-1)
-            hit = pending & occupied & key_match
-            res[hit] = rows[hit, W]
-            pending = pending & occupied & ~key_match
-            pos = np.where(pending, (pos + 1) & self.mask, pos).astype(np.uint32)
-            guard += 1
-            if guard > self.n_slots:
-                raise RuntimeError("lookup did not terminate (corrupt table?)")
+            b = np.minimum(home + off, self.n_buckets + PAD_BUCKETS - 1)
+            rows = self.tab[b].reshape(-1, S, sw)
+            occ = rows[:, :, sw - 1] != 0
+            key_eq = (rows[:, :, :W] == keys[:, None, :]).all(axis=-1) & occ
+            hit = key_eq.any(axis=1)
+            cnt = (np.where(key_eq, rows[:, :, sw - 1], 0)).sum(axis=1).astype(np.uint32)
+            has_empty = (~occ).any(axis=1)
+            exhausted = off > PAD_BUCKETS
+            res[pending & hit] = cnt[pending & hit]
+            pending = pending & ~hit & ~has_empty & ~exhausted
+            off[pending] += 1
         return res
 
     def query_codes(self, seq_codes: np.ndarray) -> np.ndarray:
@@ -109,12 +121,7 @@ class HostKmerTable:
         return out
 
     def query_str(self, mer: str) -> int:
-        """Count of one k-mer given as a string; 0 if wrong length or invalid.
-
-        This is the contract the reference scan gets from
-        `qf[jf.MerDNA(s).get_canonical()]` for well-formed mers; non-ACGT or
-        wrong-length input yields 0 by definition here (see SEMANTICS.md).
-        """
+        """Count of one k-mer given as a string; 0 if wrong length or invalid."""
         if len(mer) != self.k:
             return 0
         c = codes_mod.encode(mer)
@@ -128,6 +135,7 @@ class HostKmerTable:
     def items(self):
         """(keys uint32 [N, W], counts uint32 [N]) over occupied slots, in
         slot order."""
-        W = self.W
-        occ = self.tab[: self.n_slots, W] != _EMPTY
-        return self.tab[: self.n_slots, :W][occ], self.tab[: self.n_slots, W][occ]
+        sw = self.sw
+        flat = self.tab.reshape(-1, sw)
+        occ = flat[:, sw - 1] != 0
+        return flat[occ][:, : self.W], flat[occ][:, sw - 1]

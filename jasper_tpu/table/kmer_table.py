@@ -1,21 +1,34 @@
-"""HBM-resident open-addressing k-mer count table (device side).
+"""HBM-resident bucketed k-mer count table (device side).
 
 TPU-native replacement for the reference's lock-free CAS hash
-(jellyfish large_hash_array.hpp / hash_counter.hpp): instead of per-thread
-compare-and-swap probe chains, whole batches of keys are inserted with
-vectorized gather/scatter rounds, and lookups are batched gathers.
+(jellyfish large_hash_array.hpp / hash_counter.hpp). The layout is chosen
+from measured v5e gather behavior: XLA row-gather cost is per-index
+(~12ns/row) almost independent of row width up to 256B, so the table stores
+16 slots per physical row ("bucket") and one gather resolves a lookup:
 
-Layout: one uint32 array ``tab[n_slots + 1, W + 1]``:
-  * columns 0..W-1 : key words (word 0 = least significant),
-  * column  W      : count; count == 0 marks an empty slot,
-  * row n_slots    : scratch "dummy" row targeted by masked-out scatters.
+  tab: uint32 [n_buckets + PAD_BUCKETS, 64]
+       row = bucket of SLOTS slots x SLOT_WORDS u32:
+         slot words 0..W-1 : key words (word 0 least significant)
+         slot word  SLOT_WORDS-1 : count; 0 == empty
+       SLOT_WORDS = 4 (k <= 48) or 8 (k <= 112), SLOTS = 64 // SLOT_WORDS.
 
-Probing is linear from ``pos = mix32(key) & (n_slots - 1)``; n_slots is a
-power of two. Duplicate keys inside one insert batch are legal: the claim
-round lets exactly one contender fill an empty slot (scatter-min of the
-contender index into a claim array), and everyone else accumulates into it
-via scatter-add in a later round — the vectorized analog of jellyfish's
-``claim_key``/``add_val`` CAS loops (large_hash_array.hpp:509-597,741-752).
+Probing is bucket-granular linear probing WITHOUT wraparound: home bucket
+b = mix32(key) & (n_buckets-1); overflow spills to b+1, ..., bounded by
+PAD_BUCKETS (inserts report pending beyond that, callers grow). Invariant:
+a stored key's chain [home..its bucket] is all-full, so a lookup is
+*definitively* absent at the first bucket containing an empty slot — one
+gather answers hits AND misses.
+
+Batched ops:
+  * lookup: one full-batch gather + vectorized 16-way compare; the rare
+    full-bucket-no-match lanes (~1-2% at load 0.6) continue via rounds that
+    compact pending lanes with a cheap stable argsort (sort is ~10x cheaper
+    than gather on this hardware) and gather only those.
+  * insert: pre-aggregates duplicate keys with a lexicographic sort +
+    segment-sum (the vectorized analog of jellyfish's per-thread local
+    counting), then claim rounds: first-empty-slot scatter-min claims, the
+    vectorized analog of claim_key/add_val CAS loops
+    (large_hash_array.hpp:509-597,741-752).
 
 All functions are pure; callers jit them (donating ``tab``).
 """
@@ -32,158 +45,258 @@ import numpy as np
 from jasper_tpu.ops.hashing import mix32
 from jasper_tpu.ops.kmer import words_per_kmer
 
+ROW_U32 = 64
+PAD_BUCKETS = 32
 _EMPTY_CLAIM = np.uint32(0xFFFFFFFF)
+_DROP = np.uint32(0x7FFFFFFF)  # out-of-range index; scatters use mode="drop"
+
+
+def slot_words_for(W: int) -> int:
+    if W <= 3:
+        return 4
+    assert W <= 7, "k too large (max 112)"
+    return 8
+
+
+def _layout(tab, keys):
+    """-> (n_buckets, W, SLOT_WORDS, SLOTS)."""
+    W = keys.shape[-1]
+    sw = slot_words_for(W)
+    return tab.shape[0] - PAD_BUCKETS, W, sw, ROW_U32 // sw
 
 
 def empty_table(k: int, n_slots: int) -> jax.Array:
-    """Allocate an empty table. n_slots must be a power of two."""
-    assert n_slots & (n_slots - 1) == 0, "n_slots must be a power of 2"
+    """Allocate an empty table with capacity n_slots keys (power of two,
+    >= one bucket's worth)."""
     W = words_per_kmer(k)
-    return jnp.zeros((n_slots + 1, W + 1), dtype=jnp.uint32)
+    sw = slot_words_for(W)
+    slots = ROW_U32 // sw
+    n_buckets = max(1, n_slots // slots)
+    assert n_buckets & (n_buckets - 1) == 0, "n_slots/slots must be a power of 2"
+    return jnp.zeros((n_buckets + PAD_BUCKETS, ROW_U32), dtype=jnp.uint32)
+
+
+def table_capacity(tab, k: int) -> int:
+    sw = slot_words_for(words_per_kmer(k))
+    return (tab.shape[0] - PAD_BUCKETS) * (ROW_U32 // sw)
 
 
 def slots_for(n_keys: int, load_factor: float = 0.6) -> int:
     """Smallest power-of-two slot count holding n_keys at the load factor."""
-    need = max(16, int(math.ceil(n_keys / load_factor)))
+    need = max(64, int(math.ceil(n_keys / load_factor)))
     return 1 << (need - 1).bit_length()
 
 
-def insert_kmers(tab, keys, counts, active, max_rounds: int = 512):
-    """Insert-or-add a batch of k-mers.
+def _slot_view(rows, W, sw, slots):
+    """rows [B, 64] -> (keys [B, S, W], counts [B, S])."""
+    s = rows.reshape(rows.shape[0], slots, sw)
+    return s[:, :, :W], s[:, :, sw - 1]
 
-    tab:    uint32 [n_slots+1, W+1]
-    keys:   uint32 [B, W]
-    counts: uint32 [B]   (amount to add)
-    active: bool   [B]   (False entries are ignored)
 
-    Returns (tab, n_pending, n_placed): n_pending > 0 means the table filled
-    up before all keys were placed (callers that pre-guarantee capacity — see
-    jasper_tpu.count.counter — never hit this); n_placed counts newly
-    occupied slots so callers can track occupancy without rescanning.
-
-    The loop aborts early once no lane has resolved for 32 consecutive
-    rounds (an overfull table would otherwise cycle every lane through every
-    slot), so a full table fails fast instead of spinning max_rounds.
+def _dedupe_sorted(keys, counts, active):
+    """Sort (keys, counts, active) lexicographically and segment-sum counts
+    so each distinct key has exactly one active lane. Returns
+    (keys, summed_counts, active_start) in sorted order. Gather-free: run
+    totals come from cumsum differences located with a reverse cummin.
     """
-    n_slots = tab.shape[0] - 1
-    W = tab.shape[1] - 1
-    mask = jnp.uint32(n_slots - 1)
+    B, W = keys.shape
+    ops = tuple(keys[:, j] for j in range(W - 1, -1, -1))  # MSB word first
+    inact = (~active).astype(jnp.uint32)
+    sorted_ops = jax.lax.sort(
+        ops + (inact, counts.astype(jnp.uint32)),
+        num_keys=W + 1,  # inactive lanes sort after active ones of equal key
+    )
+    skeys = jnp.stack([sorted_ops[W - 1 - j] for j in range(W)], axis=-1)
+    sact = sorted_ops[W] == 0
+    scounts = jnp.where(sact, sorted_ops[W + 1], 0)
+
+    same_as_prev = jnp.all(skeys == jnp.roll(skeys, 1, axis=0), axis=-1)
+    same_as_prev = same_as_prev.at[0].set(False)
+    start = ~same_as_prev & sact
+    # lane is last of its key-run iff the next lane starts a new key
+    is_last = jnp.roll(~same_as_prev, -1, axis=0).at[B - 1].set(True)
+
+    csum = jnp.cumsum(scounts, dtype=jnp.uint32)
+    # csum at the end of each lane's run = nearest is_last at or after the
+    # lane; csum is monotone, so reverse-cummin over (csum | INF) finds it
+    cand = jnp.where(is_last, csum, jnp.uint32(0xFFFFFFFF))
+    run_end_csum = jax.lax.cummin(cand[::-1])[::-1]
+    before = jnp.concatenate([jnp.zeros(1, jnp.uint32), csum[:-1]])
+    totals = jnp.where(start, run_end_csum - before, 0)
+    return skeys, totals.astype(jnp.uint32), start
+
+
+def insert_kmers(tab, keys, counts, active, max_rounds: int = 512):
+    """Insert-or-add a batch of k-mers (duplicates legal).
+
+    tab: uint32 [n_buckets+PAD, 64]; keys uint32 [B, W]; counts uint32 [B];
+    active bool [B]. Returns (tab, n_pending, n_placed); n_pending > 0 means
+    keys could not be placed within PAD_BUCKETS of their home (callers grow).
+    """
+    n_buckets, W, sw, slots = _layout(tab, keys)
+    bmask = jnp.uint32(n_buckets - 1)
     B = keys.shape[0]
-    ids = jnp.arange(B, dtype=jnp.uint32)
-    # derive a zero from `active` so every while-loop carry is device-varying
-    # under shard_map even when keys/tab are replicated (shard-map scan-vma)
     vzero = active[0].astype(jnp.uint32) * jnp.uint32(0)
-    tab = tab | vzero
-    pos = (mix32(jnp, keys) & mask) | vzero
+
+    keys, counts, active = _dedupe_sorted(keys, counts.astype(jnp.uint32), active)
+
+    ids = jnp.arange(B, dtype=jnp.uint32)
+    home = (mix32(jnp, keys) & bmask) | vzero
+    off = jnp.zeros(B, jnp.uint32) | vzero
     pending = active | (vzero != 0)
-    claim = jnp.full((n_slots + 1,), _EMPTY_CLAIM, dtype=jnp.uint32) | vzero
-    counts = counts.astype(jnp.uint32)
+    tab = tab | vzero
+    claim = jnp.full((n_buckets + PAD_BUCKETS) * slots, _EMPTY_CLAIM, jnp.uint32) | vzero
+
+    flat_tab_shape = ((n_buckets + PAD_BUCKETS) * slots, sw)
 
     def cond(state):
-        tab, claim, pos, pending, r, stall, placed = state
-        return jnp.any(pending) & (r < max_rounds) & (stall < 32)
+        tab, claim, off, pending, r, stall, placed, failed = state
+        return jnp.any(pending) & (r < max_rounds) & (stall < 8)
 
     def body(state):
-        tab, claim, pos, pending, r, stall, placed = state
+        tab, claim, off, pending, r, stall, placed, failed = state
         n_before = jnp.sum(pending)
-        rows = jnp.take(tab, pos, axis=0, mode="clip")  # [B, W+1]
-        occupied = rows[:, W] != 0
-        key_match = jnp.all(rows[:, :W] == keys, axis=-1)
-        is_match = pending & occupied & key_match
-        is_empty = pending & ~occupied
-        is_coll = pending & occupied & ~key_match
+        b = home + off
+        rows = jnp.take(tab, b, axis=0, mode="clip")
+        skeys, scnt = _slot_view(rows, W, sw, slots)
+        occ = scnt != 0
+        key_eq = jnp.all(skeys == keys[:, None, :], axis=-1) & occ
+        hit_slot = jnp.argmax(key_eq, axis=1).astype(jnp.uint32)
+        is_match = pending & jnp.any(key_eq, axis=1)
+        has_empty = jnp.any(~occ, axis=1)
+        first_empty = jnp.argmax(~occ, axis=1).astype(jnp.uint32)
+        is_empty = pending & ~is_match & has_empty
+        is_full = pending & ~is_match & ~has_empty
+        beyond = is_full & (off >= PAD_BUCKETS)
 
-        # accumulate matches (scatter-add; masked lanes add 0 at dummy row)
-        add_pos = jnp.where(is_match, pos, n_slots)
-        tab = tab.at[add_pos, W].add(jnp.where(is_match, counts, 0), mode="drop")
+        flat = tab.reshape(flat_tab_shape)
+        # add counts for matches
+        add_idx = jnp.where(is_match, b * slots + hit_slot, _DROP)
+        flat = flat.at[add_idx, sw - 1].add(jnp.where(is_match, counts, 0), mode="drop")
+        # claim an empty slot, spreading contenders of one bucket across its
+        # empty slots (kills the one-key-per-bucket-per-round serialization;
+        # safe because lanes only advance buckets when the bucket is FULL, so
+        # the lookup's stop-at-first-non-full-bucket invariant holds)
+        n_free = jnp.sum((~occ).astype(jnp.uint32), axis=1)
+        spread = jax.lax.rem(ids * jnp.uint32(0x9E3779B1) + r, jnp.maximum(n_free, 1))
+        empties_cum = jnp.cumsum((~occ).astype(jnp.uint32), axis=1)
+        pick_slot = jnp.argmax(
+            (empties_cum == (spread + 1)[:, None]) & ~occ, axis=1
+        ).astype(jnp.uint32)
+        tgt = b * slots + jnp.where(has_empty, pick_slot, first_empty)
+        claim_idx = jnp.where(is_empty, tgt, _DROP)
+        claim = claim.at[claim_idx].min(ids, mode="drop")
+        won = is_empty & (jnp.take(claim, tgt, mode="clip") == ids)
+        slot_rows = jnp.zeros((B, sw), dtype=jnp.uint32)
+        slot_rows = slot_rows.at[:, :W].set(keys)
+        slot_rows = slot_rows.at[:, sw - 1].set(counts)
+        win_idx = jnp.where(won, tgt, _DROP)
+        flat = flat.at[win_idx, :].set(
+            jnp.where(won[:, None], slot_rows, 0), mode="drop"
+        )
+        claim = claim.at[claim_idx].set(_EMPTY_CLAIM, mode="drop")
+        tab = flat.reshape(tab.shape)
 
-        # claim empty slots: min contender id wins
-        empty_pos = jnp.where(is_empty, pos, n_slots)
-        claim = claim.at[empty_pos].min(ids, mode="drop")
-        won = is_empty & (jnp.take(claim, pos, axis=0, mode="clip") == ids)
-        win_pos = jnp.where(won, pos, n_slots)
-        new_rows = jnp.concatenate([keys, counts[:, None]], axis=-1)
-        tab = tab.at[win_pos, :].set(jnp.where(won[:, None], new_rows, rows), mode="drop")
-        # reset claim cells we touched so later rounds start clean
-        claim = claim.at[empty_pos].set(_EMPTY_CLAIM, mode="drop")
-
-        pending = pending & ~is_match & ~won
-        pos = jnp.where(is_coll, (pos + 1) & mask, pos)
-        progressed = jnp.sum(pending) < n_before
+        pending = pending & ~is_match & ~won & ~beyond
+        off = jnp.where(is_full & ~beyond, off + 1, off)
+        progressed = (jnp.sum(pending) < n_before) | jnp.any(beyond)
         stall = jnp.where(progressed, jnp.uint32(0), stall + 1)
         placed = placed + jnp.sum(won.astype(jnp.uint32))
-        return tab, claim, pos, pending, r + 1, stall, placed
+        failed = failed + jnp.sum(beyond.astype(jnp.uint32))
+        return tab, claim, off, pending, r + 1, stall, placed, failed
 
-    tab, claim, pos, pending, r, stall, placed = jax.lax.while_loop(
-        cond, body,
-        (tab, claim, pos, pending, vzero, vzero, vzero),
+    tab, claim, off, pending, r, stall, placed, failed = jax.lax.while_loop(
+        cond, body, (tab, claim, off, pending, vzero, vzero, vzero, vzero)
     )
-    # clear any scratch accumulated in the dummy row
-    tab = tab.at[n_slots, :].set(0)
-    return tab, jnp.sum(pending.astype(jnp.uint32)), placed
+    return tab, jnp.sum(pending.astype(jnp.uint32)) + failed, placed
 
 
-def lookup_kmers(tab, keys, valid, max_probes: int = 512):
-    """Batched count lookup.
+def lookup_kmers(tab, keys, valid, max_rounds: int = PAD_BUCKETS + 2):
+    """Batched count lookup: one gather resolves hits and definitive misses;
+    full-bucket lanes continue via compacted rounds.
 
-    keys: uint32 [B, W]; valid: bool [B]. Returns uint32 [B] counts
-    (0 for absent keys and for valid=False lanes — the contract JASPER's
-    scan relies on, reference src/jasper.py:70-73).
+    keys uint32 [B, W]; valid bool [B] -> uint32 [B] counts (0 for absent
+    keys and invalid lanes, the contract the reference scan relies on,
+    src/jasper.py:70-73).
     """
-    n_slots = tab.shape[0] - 1
-    W = tab.shape[1] - 1
-    mask = jnp.uint32(n_slots - 1)
+    n_buckets, W, sw, slots = _layout(tab, keys)
+    bmask = jnp.uint32(n_buckets - 1)
+    B = keys.shape[0]
     vzero = valid[0].astype(jnp.uint32) * jnp.uint32(0)
-    pos = (mix32(jnp, keys) & mask) | vzero
-    res = jnp.zeros(keys.shape[0], dtype=jnp.uint32) | vzero
-    pending = valid
+    home = (mix32(jnp, keys) & bmask) | vzero
+
+    def probe(rows, kk):
+        skeys, scnt = _slot_view(rows, W, sw, slots)
+        occ = scnt != 0
+        key_eq = jnp.all(skeys == kk[:, None, :], axis=-1) & occ
+        hit = jnp.any(key_eq, axis=1)
+        cnt = jnp.sum(jnp.where(key_eq, scnt, 0), axis=1).astype(jnp.uint32)
+        has_empty = jnp.any(~occ, axis=1)
+        return hit, cnt, has_empty
+
+    rows = jnp.take(tab, home, axis=0, mode="clip")
+    hit, cnt, has_empty = probe(rows, keys)
+    res = jnp.where(valid & hit, cnt, 0)
+    pending = valid & ~hit & ~has_empty
+
+    C = min(B, max(512, B // 16))
+    off = jnp.ones(B, jnp.uint32) | vzero
 
     def cond(state):
-        pos, res, pending, r, stall = state
-        return jnp.any(pending) & (r < max_probes) & (stall < 32)
+        res, pending, off, r = state
+        return jnp.any(pending) & (r < max_rounds)
 
     def body(state):
-        pos, res, pending, r, stall = state
-        n_before = jnp.sum(pending)
-        rows = jnp.take(tab, pos, axis=0, mode="clip")
-        occupied = rows[:, W] != 0
-        key_match = jnp.all(rows[:, :W] == keys, axis=-1)
-        hit = pending & occupied & key_match
-        res = jnp.where(hit, rows[:, W], res)
-        pending = pending & occupied & ~key_match
-        pos = jnp.where(pending, (pos + 1) & mask, pos)
-        progressed = jnp.sum(pending) < n_before
-        stall = jnp.where(progressed, jnp.uint32(0), stall + 1)
-        return pos, res, pending, r + 1, stall
+        res, pending, off, r = state
+        order = jnp.argsort(~pending, stable=True)  # pending lanes first
+        sub = order[:C]
+        sk = jnp.take(keys, sub, axis=0)
+        sb = jnp.take(home, sub) + jnp.take(off, sub)
+        sb = jnp.minimum(sb, jnp.uint32(n_buckets + PAD_BUCKETS - 1))
+        rows = jnp.take(tab, sb, axis=0, mode="clip")
+        hit, cnt, has_empty = probe(rows, sk)
+        sp = jnp.take(pending, sub)
+        soff = jnp.take(off, sub)
+        # beyond-PAD probes are definitively absent (insert invariant)
+        exhausted = soff > PAD_BUCKETS
+        resolved = sp & (hit | has_empty | exhausted)
+        res = res.at[sub].set(jnp.where(resolved & hit, cnt, jnp.take(res, sub)))
+        pending = pending.at[sub].set(sp & ~resolved)
+        off = off.at[sub].set(jnp.where(sp, soff + 1, soff))
+        return res, pending, off, r + 1
 
-    pos, res, pending, r, stall = jax.lax.while_loop(
-        cond, body, (pos, res, pending, vzero, vzero)
+    res, pending, off, r = jax.lax.while_loop(
+        cond, body, (res, pending, off, vzero)
     )
     return res
 
 
-def table_histogram(tab, max_count: int):
-    """count-frequency histogram over occupied slots: hist[c] = #keys with
-    count c (c in 1..max_count; counts > max_count clamp into the last bin,
-    mirroring jellyfish histo's `high` bucket, sub_commands/histo_main.cc)."""
-    n_slots = tab.shape[0] - 1
-    W = tab.shape[1] - 1
-    counts = tab[:n_slots, W]
-    occupied = counts != 0
+# -- whole-table reductions --------------------------------------------------
+
+
+def _occupied_counts(tab, k: int):
+    sw = slot_words_for(words_per_kmer(k))
+    n_rows = tab.shape[0]
+    return tab.reshape(n_rows * (ROW_U32 // sw), sw)[:, sw - 1]
+
+
+def table_histogram(tab, max_count: int, k: int | None = None, W: int | None = None):
+    """count-frequency histogram over occupied slots (mirrors jellyfish
+    histo's bucketing, sub_commands/histo_main.cc)."""
+    if W is None:
+        W = words_per_kmer(k)
+    sw = slot_words_for(W)
+    counts = tab.reshape(-1, sw)[:, sw - 1]
     clipped = jnp.clip(counts, 0, max_count)
-    return jnp.bincount(
-        jnp.where(occupied, clipped, 0), length=max_count + 1
-    ).at[0].set(0)
+    return jnp.bincount(clipped, length=max_count + 1).at[0].set(0)
 
 
-def table_stats(tab):
+def table_stats(tab, k: int):
     """(unique, distinct, total, max) as in `jellyfish stats`
-    (sub_commands/stats_main.cc:32-46). Host-side numpy: totals overflow
-    uint32 at genome scale and jax x64 is off by default."""
+    (sub_commands/stats_main.cc:32-46). Host-side numpy (uint64 totals)."""
     arr = np.asarray(tab)
-    n_slots = arr.shape[0] - 1
-    W = arr.shape[1] - 1
-    counts = arr[:n_slots, W].astype(np.uint64)
+    sw = slot_words_for(words_per_kmer(k))
+    counts = arr.reshape(-1, sw)[:, sw - 1].astype(np.uint64)
     occupied = counts != 0
     return (
         int((counts == 1).sum()),
@@ -198,19 +311,15 @@ class DeviceKmerTable:
     """Convenience wrapper owning a device table + jitted entry points."""
 
     k: int
-    tab: jax.Array  # uint32 [n_slots+1, W+1]
+    tab: jax.Array
 
     @classmethod
     def create(cls, k: int, n_keys_estimate: int, load_factor: float = 0.6):
         return cls(k=k, tab=empty_table(k, slots_for(n_keys_estimate, load_factor)))
 
     @property
-    def n_slots(self) -> int:
-        return self.tab.shape[0] - 1
-
-    @property
     def W(self) -> int:
-        return self.tab.shape[1] - 1
+        return words_per_kmer(self.k)
 
     def insert(self, keys, counts, active):
         self.tab, n_pending, _ = _insert_jit(self.tab, keys, counts, active)

@@ -118,7 +118,7 @@ def test_histogram_rows_from_table():
     k = 7
     seqs = ["ACGTACGTACGT"]
     tab = count_sequences(seqs, k, n_slots=256)
-    rows = histogram_rows(tab)
+    rows = histogram_rows(tab, k)
     truth = oracle_counts(seqs, k)
     import collections
 

@@ -67,15 +67,22 @@ def test_insert_lookup_vs_dict(k):
 
 
 def test_table_overflow_reported():
+    """More distinct keys than the whole probe chain (home bucket + pad
+    buckets) can hold: the remainder must be reported pending."""
+    from jasper_tpu.table.kmer_table import PAD_BUCKETS
+
     k = 11
-    tab = empty_table(k, 16)
+    tab = empty_table(k, 16)  # 1 home bucket (16 slots) + pad buckets
+    capacity = (1 + PAD_BUCKETS) * 16
+    n = capacity + 72
     rng = np.random.default_rng(0)
-    keys = random_keys(rng, 64, words_per_kmer(k), 2 * k)
-    counts = np.ones(64, dtype=np.uint32)
-    tab, n_pending, placed = jax.jit(insert_kmers, static_argnames="max_rounds")(
-        tab, jnp.asarray(keys), jnp.asarray(counts), jnp.ones(64, dtype=bool), max_rounds=64
+    keys = np.unique(random_keys(rng, n + 200, words_per_kmer(k), 2 * k), axis=0)[:n]
+    counts = np.ones(n, dtype=np.uint32)
+    tab, n_pending, placed = jax.jit(insert_kmers)(
+        tab, jnp.asarray(keys), jnp.asarray(counts), jnp.ones(n, dtype=bool)
     )
-    assert int(n_pending) > 0  # 64 distinct keys cannot fit 16 slots
+    assert int(placed) == capacity
+    assert int(n_pending) == n - capacity
 
 
 def test_host_insert_matches_device():
@@ -123,8 +130,8 @@ def test_stats_and_histogram():
     tab = empty_table(k, 256)
     tab, pend, _ = insert_kmers(tab, jnp.asarray(host_keys), jnp.asarray(counts), jnp.ones(100, bool))
     assert int(pend) == 0
-    uniq, distinct, total, mx = table_stats(tab)
+    uniq, distinct, total, mx = table_stats(tab, k)
     assert (int(uniq), int(distinct), int(total), int(mx)) == (60, 100, 60 + 60 + 70, 7)
-    hist = np.asarray(table_histogram(tab, max_count=5))
+    hist = np.asarray(table_histogram(tab, max_count=5, k=k))
     assert hist[1] == 60 and hist[2] == 30 and hist[5] == 10  # 7 clamps into bin 5
     assert hist[0] == 0
