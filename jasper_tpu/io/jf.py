@@ -32,6 +32,7 @@ from jasper_tpu.ops.gf2 import GF2Matrix
 from jasper_tpu.ops.kmer import key_bytes, words_per_kmer
 
 FORMAT = "binary/sorted"
+TEXT_FORMAT = "text/sorted"
 _QUADRATIC_REPROBES = [1]  # placeholder reprobe table for our headers
 
 
@@ -140,12 +141,105 @@ def write_jf(
         f.write(recs.tobytes())
 
 
+def read_header(path: str) -> JFHeader:
+    """Header JSON of any jellyfish-format file (binary/sorted, text/sorted,
+    bloomcounter, ...)."""
+    with open(path, "rb") as f:
+        return _read_header(f)
+
+
+def read_text_jf(path: str):
+    """Read a "text/sorted" file (text_dumper format: generic header followed
+    by `MER count` lines, jellyfish text_dumper.hpp:44-61).
+
+    -> (k, keys uint32 [N, W], counts uint64 [N], header), records in file
+    order.
+    """
+    from jasper_tpu.ops.kmer import int_to_words, kmer_to_int
+
+    with open(path, "rb") as f:
+        header = _read_header(f)
+        if header.get("format") != TEXT_FORMAT:
+            raise ValueError(f"unsupported text format {header.get('format')!r}")
+        k = header.k
+        W = words_per_kmer(k)
+        keys, counts = [], []
+        for line in f.read().decode("ascii").splitlines():
+            if not line:
+                continue
+            mer, cnt = line.split()
+            keys.append(int_to_words(kmer_to_int(mer), k))
+            counts.append(int(cnt))
+    ka = np.array(keys, dtype=np.uint32).reshape(len(keys), W)
+    return k, ka, np.array(counts, dtype=np.uint64), header
+
+
+def write_text_jf(
+    path: str,
+    k: int,
+    keys: np.ndarray,
+    counts: np.ndarray,
+    size: int | None = None,
+    canonical: bool = True,
+    extra_header: dict | None = None,
+):
+    """Write a "text/sorted" file with the same record order as write_jf
+    (sorted by identity-matrix hash position, then key)."""
+    from jasper_tpu.ops.kmer import int_to_kmer, words_to_int
+
+    n = keys.shape[0]
+    W = words_per_kmer(k)
+    if size is None:
+        size = 1 << max(4, math.ceil(math.log2(max(n, 1) * 2)))
+    lsize = int(math.log2(size))
+    matrix = GF2Matrix.identity(lsize, 2 * k)
+    pos = matrix.times_words(keys) if n else np.zeros(0, np.uint64)
+    order = np.lexsort([keys[:, j] for j in range(W)] + [pos]) if n else []
+
+    header = {
+        "alignment": 8,
+        "canonical": bool(canonical),
+        "counter_len": 4,
+        "format": TEXT_FORMAT,
+        "key_len": 2 * k,
+        "matrix1": matrix.to_header_json(),
+        "max_reprobe": 0,
+        "reprobes": _QUADRATIC_REPROBES,
+        "size": int(size),
+        "val_len": 32,
+    }
+    if extra_header:
+        header.update(extra_header)
+    hjson = json.dumps(header, separators=(",", ":"), sort_keys=True).encode()
+    pad = (9 + len(hjson)) % 8
+    padlen = (8 - pad) if pad else 0
+
+    with open(path, "wb") as f:
+        f.write(b"%09d" % (len(hjson) + padlen))
+        f.write(hjson)
+        f.write(b"\x00" * padlen)
+        for i in order:
+            mer = int_to_kmer(words_to_int(keys[i]), k)
+            f.write(f"{mer} {int(counts[i])}\n".encode())
+
+
+def read_any_jf(path: str):
+    """Read either binary/sorted or text/sorted; -> (k, keys, counts, header)."""
+    header = read_header(path)
+    fmt = header.get("format")
+    if fmt == FORMAT:
+        return read_jf(path)
+    if fmt == TEXT_FORMAT:
+        return read_text_jf(path)
+    raise ValueError(f"unsupported jellyfish format {fmt!r}")
+
+
 def load_jf_into_host_table(path: str, load_factor: float = 0.6):
     """.jf -> HostKmerTable (bulk vectorized build)."""
     from jasper_tpu.table.host_table import HostKmerTable
     from jasper_tpu.table.kmer_table import slots_for
 
-    k, keys, counts, header = read_jf(path)
+    k, keys, counts, header = read_any_jf(path)
     tab = HostKmerTable.empty(k, slots_for(len(keys), load_factor))
     tab.insert_np(keys, np.minimum(counts, 0xFFFFFFFF).astype(np.uint32))
     return tab, header

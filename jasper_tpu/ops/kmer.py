@@ -96,6 +96,15 @@ def canonical_windows(xp, codes, k: int):
     return keys, valid
 
 
+def forward_windows(xp, codes, k: int):
+    """All k-mer windows of a code array WITHOUT canonicalization (jellyfish
+    non-`-C` counting mode). Returns (keys uint32 [L-k+1, W], valid bool)."""
+    win = window_stack(xp, codes, k)
+    valid = xp.all(win <= np.uint8(CODE_T), axis=-1)
+    safe = (win & np.uint8(3)).astype(xp.uint32)
+    return pack_codes(xp, safe, k), valid
+
+
 def canonical_kmers_of_batch(xp, codes, k: int):
     """Like canonical_windows but for a batch [B, L] -> ([B, L-k+1, W], [B, L-k+1])."""
     win = xp.stack([codes[:, p : p + codes.shape[1] - k + 1] for p in range(k)], axis=-1)
