@@ -31,16 +31,20 @@ from jasper_tpu.table.kmer_table import empty_table, insert_kmers, slots_for
 GROW_LOAD_LIMIT = 0.8  # grow when occupancy + chunk windows would exceed this
 
 
-@functools.partial(jax.jit, static_argnames=("k",), donate_argnums=0)
-def count_chunk(tab, codes, k: int):
-    """Count every valid canonical k-mer of one code chunk into tab.
+@functools.partial(jax.jit, static_argnames=("k", "canonical"), donate_argnums=0)
+def count_chunk(tab, codes, k: int, canonical: bool = True):
+    """Count every valid k-mer of one code chunk into tab.
 
     codes: uint8 [chunk_len]; invalid windows (containing code >= 4, i.e. N
     separators / padding) are skipped, matching the reference mer_iterator's
     reset-on-invalid behavior (jellyfish mer_iterator.hpp:53-81).
+    canonical=False counts forward-strand mers (jellyfish without -C).
     Returns (tab, n_pending, n_placed).
     """
-    keys, valid = canonical_windows(jnp, codes, k)
+    from jasper_tpu.ops.kmer import forward_windows
+
+    extract = canonical_windows if canonical else forward_windows
+    keys, valid = extract(jnp, codes, k)
     ones = jnp.ones(keys.shape[0], dtype=jnp.uint32)
     return insert_kmers(tab, keys, ones, valid)
 
@@ -85,6 +89,25 @@ def grow_table(tab, k: int, min_capacity: int):
     return new_tab, new_slots
 
 
+def _unique_chunk_keys(codes: np.ndarray, k: int, canonical: bool):
+    """Host-side: unique (keys, multiplicities) of one code chunk."""
+    from jasper_tpu.ops.kmer import forward_windows
+
+    extract = canonical_windows if canonical else forward_windows
+    keys, valid = extract(np, codes, k)
+    keys = keys[valid]
+    if len(keys) == 0:
+        return keys, np.zeros(0, np.uint32)
+    W = keys.shape[1]
+    order = np.lexsort([keys[:, j] for j in range(W)])
+    keys = keys[order]
+    new_seg = np.ones(len(keys), dtype=bool)
+    new_seg[1:] = (keys[1:] != keys[:-1]).any(axis=1)
+    starts = np.flatnonzero(new_seg)
+    mult = np.diff(np.append(starts, len(keys))).astype(np.uint32)
+    return keys[starts], mult
+
+
 def count_reads(
     paths: Iterable[str],
     k: int,
@@ -92,8 +115,18 @@ def count_reads(
     chunk_len: int = 1 << 22,
     hash_size_hint: int | None = None,
     progress=None,
+    canonical: bool = True,
+    min_qual_char: str | None = None,
+    key_filter=None,
 ):
-    """Count canonical k-mers of all reads in `paths`; returns the table."""
+    """Count k-mers of all reads in `paths`; returns the table.
+
+    key_filter: optional (unique_keys uint32 [U, W], mults uint32 [U]) ->
+    adjusted mults — the prefilter hook behind `--bc`, `--bf-*` and `--if`
+    (reference count_main.cc:109-131 filter classes). When set, window
+    extraction and dedup run host-side and only the filtered insert runs on
+    device.
+    """
     paths = list(paths)
     if n_slots is None:
         if hash_size_hint is None:
@@ -106,11 +139,32 @@ def count_reads(
     occupied = 0
     n_chunks = 0
     n_windows = chunk_len - k + 1
-    for codes, _fill in stream_codes(paths, k, chunk_len):
+    for codes, _fill in stream_codes(paths, k, chunk_len, min_qual_char):
         if occupied + n_windows > GROW_LOAD_LIMIT * capacity:
             tab, n_slots = grow_table(tab, k, occupied + n_windows)
             capacity = table_capacity(tab, k)
-        tab, n_pending, n_placed = count_chunk(tab, jnp.asarray(codes), k)
+        if key_filter is None:
+            tab, n_pending, n_placed = count_chunk(tab, jnp.asarray(codes), k, canonical)
+        else:
+            keys, mult = _unique_chunk_keys(codes, k, canonical)
+            mult = np.asarray(key_filter(keys, mult), dtype=np.uint32)
+            keep = mult > 0
+            keys, mult = keys[keep], mult[keep]
+            B = 1 << max(10, int(np.ceil(np.log2(max(len(keys), 1)))))
+            kk = np.zeros((B, keys.shape[1] if len(keys) else 1), dtype=np.uint32)
+            cc = np.zeros(B, dtype=np.uint32)
+            act = np.zeros(B, dtype=bool)
+            if len(keys):
+                kk[: len(keys)] = keys
+                cc[: len(keys)] = mult
+                act[: len(keys)] = True
+            else:
+                from jasper_tpu.ops.kmer import words_per_kmer
+
+                kk = np.zeros((B, words_per_kmer(k)), dtype=np.uint32)
+            tab, n_pending, n_placed = _reinsert(
+                tab, jnp.asarray(kk), jnp.asarray(cc), jnp.asarray(act)
+            )
         occupied += int(n_placed)
         if int(n_pending):
             raise RuntimeError(

@@ -120,14 +120,22 @@ class HostKmerTable:
             out[valid] = self.lookup_words(keys[valid])
         return out
 
-    def query_str(self, mer: str) -> int:
-        """Count of one k-mer given as a string; 0 if wrong length or invalid."""
+    def query_str(self, mer: str, canonical: bool = True) -> int:
+        """Count of one k-mer given as a string; 0 if wrong length or invalid.
+
+        canonical=False probes the forward-strand key (for non-canonical
+        databases, jellyfish query_main.cc:44-52)."""
         if len(mer) != self.k:
             return 0
         c = codes_mod.encode(mer)
         if (c > 3).any():
             return 0
-        keys, _ = canonical_windows(np, c, self.k)
+        if canonical:
+            keys, _ = canonical_windows(np, c, self.k)
+        else:
+            from jasper_tpu.ops.kmer import forward_windows
+
+            keys, _ = forward_windows(np, c, self.k)
         return int(self.lookup_words(keys)[0])
 
     # -- bulk export --------------------------------------------------------
