@@ -68,8 +68,14 @@ def write_fasta(path: str, seqs: dict[str, str], width: int = 60) -> None:
                 f.write(seq[i : i + width] + "\n")
 
 
-def iter_reads(path: str) -> Iterator[str]:
-    """Yield read sequences from FASTA or FASTQ (auto-detected)."""
+def iter_reads(path: str, min_qual_char: str | None = None) -> Iterator[str]:
+    """Yield read sequences from FASTA or FASTQ (auto-detected).
+
+    min_qual_char: FASTQ bases whose quality char is below it are replaced
+    with 'x' (an invalid base, so no k-mer containing them is counted) —
+    the -Q quality-filtered counting mode (reference jellyfish
+    mer_qual_iterator.hpp:57-86 resets the mer window on low-quality bases).
+    """
     with _open_text(path) as f:
         first = f.read(1)
         if not first:
@@ -90,9 +96,14 @@ def iter_reads(path: str) -> Iterator[str]:
                 seq = f.readline()
                 if not seq:
                     break
-                yield seq.rstrip("\n")
+                seq = seq.rstrip("\n")
                 f.readline()  # +
-                f.readline()  # qual
+                qual = f.readline().rstrip("\n")
+                if min_qual_char is not None:
+                    seq = "".join(
+                        b if q >= min_qual_char else "x" for b, q in zip(seq, qual)
+                    )
+                yield seq
                 hdr = f.readline()  # next @header
                 if not hdr:
                     break
@@ -101,7 +112,11 @@ def iter_reads(path: str) -> Iterator[str]:
 
 
 def stream_codes(
-    paths: Iterable[str], k: int, chunk_len: int
+    paths: Iterable[str],
+    k: int,
+    chunk_len: int,
+    min_qual_char: str | None = None,
+    use_native: bool | None = None,
 ) -> Iterator[tuple[np.ndarray, int]]:
     """Yield (codes uint8 [chunk_len], n_valid) chunks for counting.
 
@@ -109,12 +124,24 @@ def stream_codes(
     k-1 code seam is carried across chunk boundaries so every k-mer of every
     read appears in exactly one chunk. The tail beyond n_valid is CODE_N
     padding (yielding zero-count invalid windows).
+
+    use_native: route parsing/encoding through the C++ parser
+    (native/jt_fastx.cc) when built; None = auto-detect. Identical k-mer
+    content either way (tests/test_native.py asserts it).
     """
     assert chunk_len > 2 * k
+    if use_native is None or use_native:
+        from jasper_tpu.io import native as native_mod
+
+        if native_mod.available():
+            yield from _stream_codes_native(paths, k, chunk_len, min_qual_char)
+            return
+        if use_native:
+            raise RuntimeError("native parser requested but library unavailable")
     buf = np.full(chunk_len, CODE_N, dtype=np.uint8)
     fill = 0
     for path in paths:
-        for read in iter_reads(path):
+        for read in iter_reads(path, min_qual_char):
             rc = encode(read)
             off = 0
             while off < len(rc):
@@ -141,6 +168,44 @@ def stream_codes(
                 fill = k - 1
                 buf[fill] = CODE_N
                 fill += 1
+    if fill > k - 1:
+        yield buf, fill
+
+
+def _stream_codes_native(
+    paths: Iterable[str], k: int, chunk_len: int, min_qual_char: str | None
+) -> Iterator[tuple[np.ndarray, int]]:
+    """stream_codes via the C++ parser: same chunk/seam contract."""
+    from jasper_tpu.io.native import iter_codes_native
+
+    buf = np.full(chunk_len, CODE_N, dtype=np.uint8)
+    fill = 0
+
+    def chunks_of(codes):
+        nonlocal buf, fill
+        off = 0
+        while off < len(codes):
+            take = min(chunk_len - fill, len(codes) - off)
+            buf[fill : fill + take] = codes[off : off + take]
+            fill += take
+            off += take
+            if fill == chunk_len:
+                yield buf, fill
+                seam = buf[chunk_len - (k - 1) :].copy()
+                buf = np.full(chunk_len, CODE_N, dtype=np.uint8)
+                buf[: k - 1] = seam
+                fill = k - 1
+
+    sep = np.array([CODE_N], dtype=np.uint8)
+    any_content = False
+    for path in paths:
+        first_of_file = True
+        for codes in iter_codes_native(path, min_qual_char):
+            if first_of_file and any_content:
+                yield from chunks_of(sep)  # separator between files
+            first_of_file = False
+            any_content = True
+            yield from chunks_of(codes)
     if fill > k - 1:
         yield buf, fill
 
