@@ -84,3 +84,72 @@ def polish_file(
                     for off in range(0, len(seq), 60):
                         f.write(seq[off : off + 60] + "\n")
     return seqs
+
+
+def main(argv=None) -> int:
+    """CLI with the reference jasper.py's exact flags (src/jasper.py:634-647).
+
+    jasper.sh-generated run_jasper.sh scripts work verbatim against this
+    entry point:  python -m jasper_tpu.polish.runner --db db.jf -q batch.fa
+    --ksize 37 -p 2 --fix --fout f.csv -ff fixed.fa --test -thre 5
+    """
+    import argparse
+    import sys
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--db", default=None,
+                        help="The path to the .jf database file.")
+    parser.add_argument("--reads", nargs="+", default=None,
+                        help="Accepted for reference-CLI parity (the reference "
+                             "requires --db too; build DBs with jellyfish-tpu count)")
+    parser.add_argument("-q", "--query", help="The path to the .fasta query file")
+    parser.add_argument("-thre", "--threshold", type=int, default=None,
+                        help="The threshold for an unreliable kmer.")
+    parser.add_argument("-k", "--ksize", type=int, help="The kmer size")
+    parser.add_argument("--test", action="store_true",
+                        help="Output the total num of bad kmers and a Q estimate")
+    parser.add_argument("--fix", action="store_true",
+                        help="Output fixed-base indices and the new sequence")
+    parser.add_argument("--fout", default="fout.csv",
+                        help="The path to output the index of the fixed bases.")
+    parser.add_argument("-ff", "--fixedfasta", default="fixed_seq.fasta",
+                        help="The path to output the fixed assembly sequences")
+    parser.add_argument("-p", "--passes", type=int, default=2,
+                        help="The number of iterations of fixing.")
+    args = parser.parse_args(argv)
+
+    try:
+        from jasper_tpu.io.jf import load_jf_into_host_table
+        from jasper_tpu.polish.engine import CountSource
+
+        host_table, _ = load_jf_into_host_table(args.db)
+        polish_file(
+            args.query,
+            CountSource(host_table),
+            args.ksize if args.ksize else host_table.k,
+            args.threshold,
+            args.passes,
+            fix=args.fix,
+            test=args.test,
+            fout=args.fout,
+            fixedout=args.fixedfasta,
+        )
+    except Exception:
+        # reference behavior: any failure prints the line + info, exit 1
+        # (src/jasper.py:27-32)
+        import traceback
+
+        tb = sys.exc_info()[2]
+        while tb.tb_next:
+            tb = tb.tb_next
+        print(tb.tb_lineno)
+        print(sys.exc_info())
+        traceback.print_exc(file=sys.stderr)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())
