@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import json
 import math
+import os
 
 import numpy as np
 
@@ -139,6 +140,23 @@ def write_jf(
         f.write(hjson)
         f.write(b"\x00" * padlen)
         f.write(recs.tobytes())
+
+
+def standard_header_extras(argv=None) -> dict:
+    """The reference's fill_standard keys (generic_file_header.hpp:119+):
+    hostname, pwd, exe, time, cmdline — recorded so `info -c` can print the
+    creating command."""
+    import datetime
+    import socket
+    import sys
+
+    return {
+        "hostname": socket.gethostname(),
+        "pwd": os.getcwd(),
+        "exe": sys.argv[0],
+        "time": datetime.datetime.now().ctime(),
+        "cmdline": list(sys.argv if argv is None else argv),
+    }
 
 
 def read_header(path: str) -> JFHeader:

@@ -376,13 +376,24 @@ def run_pipeline(
             f.write(str(thr))
         log(f"Lower threshold for unreliable kmers is {thr}")
         counts = CountSource(host_table)
+        # scan hot path on device: the host table's bucket layout is the
+        # device layout, so one host->HBM upload arms the batched scanner
+        import jax.numpy as jnp
+
+        from jasper_tpu.polish.device_engine import DevicePolishEngine, DeviceScanner
+
+        scanner = DeviceScanner(jnp.asarray(host_table.tab), k)
+
+        def engine_cls(c, kk, t):
+            return DevicePolishEngine(c, kk, t, scanner=scanner)
+
         for bp in batch_paths:
             bn = os.path.basename(bp)
             polish_file(
                 bp, counts, k, thr, passes,
                 fix=True, test=True,
                 fout=f"{bn}.fix.csv", fixedout=f"{bn}.fixed.fa.tmp",
-                workdir=workdir,
+                workdir=workdir, engine_cls=engine_cls,
             )
             os.replace(
                 os.path.join(workdir, f"_iter{last_it}_{bn}.fixed.fa.tmp"),

@@ -74,7 +74,7 @@ def cmd_count(argv) -> int:
     import time
 
     from jasper_tpu.count.counter import count_reads
-    from jasper_tpu.io.jf import write_jf, write_text_jf
+    from jasper_tpu.io.jf import standard_header_extras, write_jf, write_text_jf
     from jasper_tpu.table.host_table import HostKmerTable
     from jasper_tpu.table.kmer_table import slots_for
 
@@ -132,11 +132,14 @@ def cmd_count(argv) -> int:
     if args.upper_count is not None:
         keep = counts <= args.upper_count
         keys, counts = keys[keep], counts[keep]
+    extras = standard_header_extras()
     if args.text:
-        write_text_jf(args.output, args.mer_len, keys, counts, canonical=args.canonical)
+        write_text_jf(args.output, args.mer_len, keys, counts,
+                      canonical=args.canonical, extra_header=extras)
     else:
         write_jf(args.output, args.mer_len, keys, counts,
-                 counter_len=args.out_counter_len, canonical=args.canonical)
+                 counter_len=args.out_counter_len, canonical=args.canonical,
+                 extra_header=extras)
     t2 = time.time()
     if args.timing:
         with open(args.timing, "w") as f:

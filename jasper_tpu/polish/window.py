@@ -41,13 +41,11 @@ def scan_window(tab, codes, solid_threshold, k: int, divisor: int = 50):
     # counts[max(0, i-k)] without dynamic shapes: shift right by k, clamp head
     idx = jnp.maximum(jnp.arange(n) - k, 0)
     prev = counts[idx]
-    # occ < prev/divisor  <=>  occ*divisor < prev  (exact for uint in f64-free int math)
-    reldrop = (
-        valid
-        & ~below
-        & (jnp.arange(n) > 0)
-        & (counts.astype(jnp.uint32) * jnp.uint32(divisor) < prev.astype(jnp.uint32))
-    )
+    # occ < prev/divisor  <=>  occ < ceil(prev/divisor)  (occ integer; avoids
+    # uint32 overflow of occ*divisor for saturated counts)
+    d = jnp.uint32(divisor)
+    ceil_prev = prev // d + (prev % d != 0).astype(jnp.uint32)
+    reldrop = valid & ~below & (jnp.arange(n) > 0) & (counts < ceil_prev)
     return counts, below, reldrop
 
 
@@ -78,11 +76,7 @@ def scan_window_tiled(tab, codes, solid_threshold, k: int, tile: int = 1 << 20,
     # fix up reldrop at tile boundaries: prev index crosses tiles; recompute
     # on host (cheap) for exactness
     idx = np.maximum(np.arange(n) - k, 0)
-    prev = counts[idx]
-    rel = (
-        (counts > 0)
-        & ~below
-        & (np.arange(n) > 0)
-        & (counts.astype(np.uint64) * np.uint64(divisor) < prev.astype(np.uint64))
-    )
+    prev = counts[idx].astype(np.uint64)
+    ceil_prev = prev // divisor + (prev % divisor != 0)
+    rel = (counts > 0) & ~below & (np.arange(n) > 0) & (counts < ceil_prev)
     return counts, below, rel
