@@ -118,6 +118,7 @@ def count_reads(
     canonical: bool = True,
     min_qual_char: str | None = None,
     key_filter=None,
+    on_full=None,
 ):
     """Count k-mers of all reads in `paths`; returns the table.
 
@@ -126,6 +127,12 @@ def count_reads(
     (reference count_main.cc:109-131 filter classes). When set, window
     extraction and dedup run host-side and only the filtered insert runs on
     device.
+
+    on_full: optional callback(tab) -> None. When set, the table is NOT
+    grown past its initial size; instead the callback receives the full
+    table (to dump to disk) and counting resumes into a zeroed table — the
+    reference's --disk dump-and-merge mode (count_main.cc:187-192,347-373).
+    The callback also receives the final table at the end of the stream.
     """
     paths = list(paths)
     if n_slots is None:
@@ -141,8 +148,13 @@ def count_reads(
     n_windows = chunk_len - k + 1
     for codes, _fill in stream_codes(paths, k, chunk_len, min_qual_char):
         if occupied + n_windows > GROW_LOAD_LIMIT * capacity:
-            tab, n_slots = grow_table(tab, k, occupied + n_windows)
-            capacity = table_capacity(tab, k)
+            if on_full is not None:
+                on_full(tab)
+                tab = empty_table(k, n_slots)
+                occupied = 0
+            else:
+                tab, n_slots = grow_table(tab, k, occupied + n_windows)
+                capacity = table_capacity(tab, k)
         if key_filter is None:
             tab, n_pending, n_placed = count_chunk(tab, jnp.asarray(codes), k, canonical)
         else:

@@ -27,7 +27,15 @@ import numpy as np
 from jasper_tpu.ops.codes import CODE_N, encode
 
 
-def _open_text(path: str):
+def _open_text(path):
+    """Open a path or readable binary file object (e.g. a generator
+    process's stdout pipe) as text, gunzipping transparently."""
+    if hasattr(path, "read"):
+        f = path if hasattr(path, "peek") else io.BufferedReader(path)
+        magic = f.peek(2)[:2]
+        if magic == b"\x1f\x8b":
+            return io.TextIOWrapper(gzip.GzipFile(fileobj=f), encoding="ascii", errors="replace")
+        return io.TextIOWrapper(f, encoding="ascii", errors="replace")
     f = open(path, "rb")
     magic = f.read(2)
     f.seek(0)
@@ -68,14 +76,38 @@ def write_fasta(path: str, seqs: dict[str, str], width: int = 60) -> None:
                 f.write(seq[i : i + width] + "\n")
 
 
-def iter_reads(path: str, min_qual_char: str | None = None) -> Iterator[str]:
-    """Yield read sequences from FASTA or FASTQ (auto-detected).
+def _iter_sam(f, min_qual_char: str | None) -> Iterator[str]:
+    """SAM text records -> read sequences (col 10; col 11 qualities for -Q).
 
-    min_qual_char: FASTQ bases whose quality char is below it are replaced
-    with 'x' (an invalid base, so no k-mer containing them is counted) —
-    the -Q quality-filtered counting mode (reference jellyfish
+    Covers the reference's optional SAM input path (jellyfish
+    sam_format.hpp; text SAM only — BAM/CRAM need htslib and are not
+    supported, as in a reference built without HAVE_HTSLIB)."""
+    for line in f:
+        if line.startswith("@"):
+            continue
+        cols = line.rstrip("\n").split("\t")
+        if len(cols) < 11:
+            continue
+        seq, qual = cols[9], cols[10]
+        if seq == "*":
+            continue
+        if min_qual_char is not None and qual != "*":
+            seq = "".join(b if q >= min_qual_char else "x" for b, q in zip(seq, qual))
+        yield seq
+
+
+def iter_reads(path: str, min_qual_char: str | None = None) -> Iterator[str]:
+    """Yield read sequences from FASTA, FASTQ, or SAM text (.sam extension).
+
+    min_qual_char: FASTQ/SAM bases whose quality char is below it are
+    replaced with 'x' (an invalid base, so no k-mer containing them is
+    counted) — the -Q quality-filtered counting mode (reference jellyfish
     mer_qual_iterator.hpp:57-86 resets the mer window on low-quality bases).
     """
+    if isinstance(path, str) and path.endswith((".sam", ".sam.gz")):
+        with _open_text(path) as f:
+            yield from _iter_sam(f, min_qual_char)
+        return
     with _open_text(path) as f:
         first = f.read(1)
         if not first:
@@ -130,7 +162,12 @@ def stream_codes(
     content either way (tests/test_native.py asserts it).
     """
     assert chunk_len > 2 * k
-    if use_native is None or use_native:
+    paths = list(paths)
+    any_sam = any(
+        isinstance(p, str) and p.endswith((".sam", ".sam.gz")) for p in paths
+    )
+    any_stream = any(not isinstance(p, str) for p in paths)
+    if (use_native is None or use_native) and not any_sam and not any_stream:
         from jasper_tpu.io import native as native_mod
 
         if native_mod.available():
@@ -211,4 +248,4 @@ def _stream_codes_native(
 
 
 def total_file_bytes(paths: Iterable[str]) -> int:
-    return sum(os.path.getsize(p) for p in paths)
+    return sum(os.path.getsize(p) for p in paths if isinstance(p, str))

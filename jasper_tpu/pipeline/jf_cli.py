@@ -67,9 +67,22 @@ def cmd_count(argv) -> int:
     p.add_argument("--bf-fp", type=float, default=0.01)
     p.add_argument("--if", dest="if_", default=None,
                    help="Count only k-mers present in this .jf file")
+    p.add_argument("--disk", action="store_true",
+                   help="Dump intermediate tables at the -s size cap and "
+                        "merge at the end instead of growing in memory")
+    p.add_argument("--no-merge", action="store_true",
+                   help="With --disk: keep the intermediate files, skip the merge")
+    p.add_argument("--no-unlink", action="store_true",
+                   help="With --disk: don't delete intermediates after merging")
     p.add_argument("--timing", default=None, help="Write stage timings to this file")
-    p.add_argument("files", nargs="+")
+    p.add_argument("-g", "--generator", default=None,
+                   help="File of shell commands generating sequence on stdout")
+    p.add_argument("-G", "--Generators", type=int, default=1,
+                   help="Number of generator commands running concurrently")
+    p.add_argument("files", nargs="*")
     args = p.parse_args(argv)
+    if not args.files and not args.generator:
+        p.error("provide input files or -g generators")
 
     import time
 
@@ -113,17 +126,61 @@ def cmd_count(argv) -> int:
             present = _t.lookup_words(keys) > 0
             return np.where(present, mult, 0)
 
+    intermediates = []
+
+    def dump_intermediate(tab):
+        # --disk: dump the full table as a sorted intermediate and resume
+        # into a zeroed one (count_main.cc:187-192)
+        from jasper_tpu.io.jf import dump_table_to_jf
+
+        path = f"{args.output}{len(intermediates)}"
+        dump_table_to_jf(path, HostKmerTable(args.mer_len, np.asarray(tab)),
+                         canonical=args.canonical)
+        intermediates.append(path)
+
+    inputs = list(args.files)
+    if args.generator:
+        from jasper_tpu.io.generators import GeneratorManager
+
+        inputs = GeneratorManager(args.generator, args.Generators).streams()
+
     tab = count_reads(
-        args.files,
+        inputs,
         args.mer_len,
-        n_slots=slots_for(max(args.size, 1 << 16), 0.8),
+        n_slots=slots_for(max(args.size, 1 << 22), 0.8) if args.disk
+        else slots_for(max(args.size, 1 << 16), 0.8),
         canonical=args.canonical,
         min_qual_char=args.min_qual_char,
         key_filter=key_filter,
+        on_full=dump_intermediate if args.disk else None,
     )
     t1 = time.time()
 
     host = HostKmerTable(args.mer_len, np.asarray(tab))
+    if intermediates:
+        # merge intermediates + the final in-memory table (SUM)
+        from jasper_tpu.count.merge import merge_jf_files
+
+        dump_intermediate(tab)
+        if args.no_merge:
+            print("\n".join(intermediates))
+            return 0
+        merge_jf_files(
+            intermediates, args.output, op="sum",
+            min_count=args.lower_count or 0,
+            max_count=args.upper_count if args.upper_count is not None
+            else int(np.iinfo(np.uint64).max),
+            text=args.text, counter_len=args.out_counter_len,
+        )
+        if not args.no_unlink:
+            import os as _os
+
+            for p in intermediates:
+                _os.unlink(p)
+        if args.timing:
+            with open(args.timing, "w") as f:
+                f.write(f"Counting {t1 - t0:.5g}\nWriting {time.time() - t1:.5g}\n")
+        return 0
     keys, counts = host.items()
     counts = counts.astype(np.uint64)
     if args.lower_count is not None:

@@ -186,6 +186,22 @@ def test_merge_cli_matches_direct_count(reads_fa, tmp_path):
     assert h_merged == h_full
 
 
+def test_disk_mode_matches_direct(reads_fa, tmp_path):
+    """--disk dump+merge must equal in-memory counting (the reference's
+    parallel_hashing.sh/merge.sh --disk invariant)."""
+    path, _ = reads_fa
+    direct = str(tmp_path / "direct.jf")
+    run_cli("count", "-m", str(K), "-s", "100k", "-C", "-o", direct, path)
+    disk = str(tmp_path / "disk.jf")
+    run_cli("count", "-m", str(K), "-s", "100k", "-C", "--disk", "-o", disk, path)
+    kd, keysd, cntd, _ = read_any_jf(direct)
+    kk, keysk, cntk, _ = read_any_jf(disk)
+    assert kd == kk
+    a = {tuple(keysd[i]): int(cntd[i]) for i in range(len(keysd))}
+    b = {tuple(keysk[i]): int(cntk[i]) for i in range(len(keysk))}
+    assert a == b
+
+
 def test_mem_roundtrip():
     out = run_cli("mem", "-m", str(K), "-s", "1M")
     bytes_ = int(out.split()[0])
