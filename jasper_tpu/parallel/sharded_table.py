@@ -248,13 +248,9 @@ def sharded_scan_fn(mesh: Mesh, k: int, codes_per_device: int, divisor: int = 50
         below = valid & (counts < t)
         idx = jnp.maximum(jnp.arange(n_windows) - k, 0)
         prev = counts[idx]
-        rel = (
-            valid
-            & ~below
-            & (jnp.arange(n_windows) > 0)
-            & (counts.astype(jnp.uint32) * jnp.uint32(divisor)
-               < prev.astype(jnp.uint32))
-        )
+        d = jnp.uint32(divisor)
+        ceil_prev = prev // d + (prev % d != 0).astype(jnp.uint32)
+        rel = valid & ~below & (jnp.arange(n_windows) > 0) & (counts < ceil_prev)
         return counts[None], below[None], rel[None], n_overflow[None]
 
     @jax.jit

@@ -32,6 +32,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Debug mode: keep all intermediate output files")
     p.add_argument("-v", "--verbose", action="store_true", help="Verbose")
     p.add_argument("--workdir", default=".", help="Working directory (default: cwd)")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="Write a JAX profiler trace of the run to DIR "
+                        "(view with TensorBoard / xprof)")
     return p
 
 
@@ -41,17 +44,25 @@ def main(argv=None) -> int:
 
     reads = args.reads.split() if args.reads else None
     try:
-        run_pipeline(
-            assembly=args.assembly,
-            reads=reads,
-            jf_db=args.jf,
-            k=args.kmer,
-            threads=args.threads,
-            passes=args.num_passes,
-            batch=args.batch,
-            debug=args.debug,
-            workdir=args.workdir,
-        )
+        import contextlib
+
+        profile_cm = contextlib.nullcontext()
+        if args.profile:
+            import jax
+
+            profile_cm = jax.profiler.trace(args.profile)
+        with profile_cm:
+            run_pipeline(
+                assembly=args.assembly,
+                reads=reads,
+                jf_db=args.jf,
+                k=args.kmer,
+                threads=args.threads,
+                passes=args.num_passes,
+                batch=args.batch,
+                debug=args.debug,
+                workdir=args.workdir,
+            )
     except PipelineError as e:
         import datetime
 

@@ -42,20 +42,34 @@ class ContigScan:
 
 
 class DeviceScanner:
-    """Runs the device pass and packages flag arrays."""
+    """Runs the device pass and packages flag arrays.
 
-    def __init__(self, tab, k: int, divisor: int = 50, tile: int = 1 << 20):
+    With more than one device visible, tiles scan data-parallel across all
+    of them (table replicated) via a ("data",) mesh — the production
+    multi-chip polish path (reference P5: xargs -P process fan-out,
+    src/jasper.sh:209-212)."""
+
+    def __init__(self, tab, k: int, divisor: int = 50, tile: int = 1 << 20,
+                 mesh=None):
         self.tab = tab
         self.k = int(k)
         self.divisor = divisor
         self.tile = tile
+        if mesh is None:
+            import jax
+
+            if len(jax.devices()) > 1:
+                from jax.sharding import Mesh
+
+                mesh = Mesh(np.array(jax.devices()), ("data",))
+        self.mesh = mesh
 
     def prepare(self, seq: str, solid_thre: int) -> ContigScan:
         k = self.k
         codes = encode(seq)
         counts, below, rel = scan_window_tiled(
             self.tab, codes, np.uint32(solid_thre), k, tile=self.tile,
-            divisor=self.divisor,
+            divisor=self.divisor, mesh=self.mesh,
         )
         n = len(counts)
         if n == 0:

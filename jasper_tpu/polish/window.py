@@ -49,10 +49,40 @@ def scan_window(tab, codes, solid_threshold, k: int, divisor: int = 50):
     return counts, below, reldrop
 
 
+def _dp_scan_fn(mesh, k: int, tile: int, divisor: int):
+    """Data-parallel scan over the mesh's devices: per-device tiles of a
+    contig (k-1 halo handled by the host splitter), table replicated. The
+    production multi-chip path when the DB fits one chip's HBM (table
+    sharding lives in jasper_tpu.parallel.sharded_table for bigger DBs)."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    def per_device(tab, chunk, thre):
+        c, b, r = scan_window(tab, chunk[0], thre, k, divisor)
+        return c[None], b[None], r[None]
+
+    @jax.jit
+    def scan(tab, chunks, thre):
+        return jax.shard_map(
+            per_device,
+            mesh=mesh,
+            in_specs=(P(), P("data"), P()),
+            out_specs=(P("data"), P("data"), P("data")),
+        )(tab, chunks, thre)
+
+    return scan
+
+
+_DP_SCAN_CACHE: dict = {}
+
+
 def scan_window_tiled(tab, codes, solid_threshold, k: int, tile: int = 1 << 20,
-                      divisor: int = 50):
+                      divisor: int = 50, mesh=None):
     """Host helper: scan an arbitrarily long code array in fixed tiles with
     k-1 halo so jit only ever sees one shape. Returns numpy arrays [L-k+1].
+
+    mesh: optional 1-axis ("data",) jax Mesh — tiles are scanned
+    data-parallel across its devices with the table replicated.
     """
     import numpy as np
 
@@ -64,6 +94,33 @@ def scan_window_tiled(tab, codes, solid_threshold, k: int, tile: int = 1 << 20,
     below = np.empty(n, bool)
     rel = np.empty(n, bool)
     pos = 0
+    if mesh is not None:
+        D = mesh.shape["data"]
+        key = (id(mesh), k, tile, divisor)
+        scan = _DP_SCAN_CACHE.get(key)
+        if scan is None:
+            scan = _DP_SCAN_CACHE[key] = _dp_scan_fn(mesh, k, tile, divisor)
+        while pos < n:
+            m = min(D * tile, n - pos)
+            chunks = np.full((D, tile + k - 1), 255, dtype=np.uint8)
+            for d in range(D):
+                s = pos + d * tile
+                mm = min(tile, max(0, n - s))
+                if mm:
+                    chunks[d, : mm + k - 1] = codes[s : s + mm + k - 1]
+            c, b, r = scan(tab, jnp.asarray(chunks),
+                           jnp.uint32(solid_threshold))
+            c = np.asarray(c).reshape(D, tile)
+            b = np.asarray(b).reshape(D, tile)
+            r = np.asarray(r).reshape(D, tile)
+            for d in range(D):
+                s = pos + d * tile
+                mm = min(tile, max(0, n - s))
+                if mm:
+                    counts[s : s + mm] = c[d, :mm]
+                    below[s : s + mm] = b[d, :mm]
+                    rel[s : s + mm] = r[d, :mm]
+            pos += m
     while pos < n:
         m = min(tile, n - pos)
         chunk = np.full(tile + k - 1, 255, dtype=np.uint8)
