@@ -23,15 +23,17 @@ def _run_case(tmp_path, seed, genome_len, k, passes, thre=None, spec=None,
 
     ref_dir = tmp_path / "ref"
     our_dir = tmp_path / "ours"
+    dev_dir = tmp_path / "dev"
     ref_dir.mkdir()
     our_dir.mkdir()
+    dev_dir.mkdir()
 
     db = tmp_path / "db.jf"
     host = G.build_db(reads, k, db)
     if thre is None:
         thre = 10  # interior coverage is ~40x with the tiled reads
 
-    for d in (ref_dir, our_dir):
+    for d in (ref_dir, our_dir, dev_dir):
         G.write_fasta_file(d / "draft.fa", {"ctg1": draft})
 
     res = G.run_reference_jasper(ref_dir, db, ref_dir / "draft.fa", k, thre, passes)
@@ -44,15 +46,34 @@ def _run_case(tmp_path, seed, genome_len, k, passes, thre=None, spec=None,
         workdir=str(our_dir),
     )
 
+    # the device-accelerated engine must match the reference byte-for-byte too
+    import jax.numpy as jnp
+
+    from jasper_tpu.polish.device_engine import DevicePolishEngine, DeviceScanner
+
+    scanner = DeviceScanner(jnp.asarray(host.tab), k, tile=1 << 12)
+    polish_file(
+        str(dev_dir / "draft.fa"), CountSource(host), k, thre, passes,
+        fix=True, test=True, fout="q.fix.csv", fixedout="q.fixed.fa",
+        workdir=str(dev_dir),
+        engine_cls=lambda c, kk, t: DevicePolishEngine(c, kk, t, scanner=scanner),
+    )
+
     ref_out = G.snapshot_outputs(ref_dir)
     our_out = G.snapshot_outputs(our_dir)
+    dev_out = G.snapshot_outputs(dev_dir)
     assert set(ref_out) == set(our_out), (
         f"artifact sets differ: {set(ref_out) ^ set(our_out)}"
     )
+    assert set(ref_out) == set(dev_out)
     for name in ref_out:
         assert our_out[name] == ref_out[name], (
             f"{name} differs:\nREF:\n{ref_out[name][:2000]!r}\n"
             f"OURS:\n{our_out[name][:2000]!r}"
+        )
+        assert dev_out[name] == ref_out[name], (
+            f"{name} differs (device engine):\nREF:\n{ref_out[name][:2000]!r}\n"
+            f"DEV:\n{dev_out[name][:2000]!r}"
         )
 
     # sanity: polishing must actually reduce the wrong-k-mer tally
