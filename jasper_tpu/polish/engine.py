@@ -50,7 +50,7 @@ class CountSource:
         kb = key.tobytes()
         hit = self._memo.get(kb)
         if hit is None:
-            hit = int(self.table.lookup_words(key[None])[0])
+            hit = self.table.lookup_one(key)
             self._memo[kb] = hit
         return hit
 

@@ -109,6 +109,40 @@ class HostKmerTable:
             off[pending] += 1
         return res
 
+    def lookup_one(self, key: np.ndarray) -> int:
+        """Scalar probe (key uint32 [W]) — the repair path's hot call.
+        Avoids the vectorized machinery's per-call overhead (the reference
+        pays a SWIG crossing here, src/jasper.py:70-71; we pay a pure-python
+        hash plus a few numpy slot compares)."""
+        W, sw, S = self.W, self.sw, self.slots
+        # murmur3-32 (ops.hashing.mix32) in plain ints
+        M = 0xFFFFFFFF
+        h = 0x6A737072
+        for j in range(W):
+            kx = (int(key[j]) * 0xCC9E2D51) & M
+            kx = ((kx << 15) | (kx >> 17)) & M
+            kx = (kx * 0x1B873593) & M
+            h ^= kx
+            h = ((h << 13) | (h >> 19)) & M
+            h = (h * 5 + 0xE6546B64) & M
+        h ^= 4 * W
+        h ^= h >> 16
+        h = (h * 0x85EBCA6B) & M
+        h ^= h >> 13
+        h = (h * 0xC2B2AE35) & M
+        h ^= h >> 16
+        b = int(h & self.bmask)
+        last = self.n_buckets + PAD_BUCKETS - 1
+        while True:
+            rows = self.tab[b].reshape(S, sw)
+            occ = rows[:, sw - 1] != 0
+            eq = (rows[:, :W] == key).all(axis=1) & occ
+            if eq.any():
+                return int(rows[eq.argmax(), sw - 1])
+            if (~occ).any() or b >= last:
+                return 0
+            b += 1
+
     def query_codes(self, seq_codes: np.ndarray) -> np.ndarray:
         """Counts for every k-mer window of a code array (canonicalized;
         invalid windows -> 0)."""
