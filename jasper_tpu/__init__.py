@@ -19,3 +19,41 @@ designed for TPUs with JAX/XLA/Pallas:
 """
 
 __version__ = "0.1.0"
+
+_API = {
+    "count_reads": "jasper_tpu.count.counter",
+    "count_sequences": "jasper_tpu.count.counter",
+    "histogram_rows": "jasper_tpu.count.histogram",
+    "threshold_from_histogram": "jasper_tpu.count.histogram",
+    "merge_jf_files": "jasper_tpu.count.merge",
+    "read_jf": "jasper_tpu.io.jf",
+    "write_jf": "jasper_tpu.io.jf",
+    "read_any_jf": "jasper_tpu.io.jf",
+    "load_jf_into_host_table": "jasper_tpu.io.jf",
+    "dump_table_to_jf": "jasper_tpu.io.jf",
+    "read_fasta": "jasper_tpu.io.fastx",
+    "write_fasta": "jasper_tpu.io.fastx",
+    "HostKmerTable": "jasper_tpu.table.host_table",
+    "PolishEngine": "jasper_tpu.polish.engine",
+    "CountSource": "jasper_tpu.polish.engine",
+    "DevicePolishEngine": "jasper_tpu.polish.device_engine",
+    "DeviceScanner": "jasper_tpu.polish.device_engine",
+    "polish_file": "jasper_tpu.polish.runner",
+    "run_pipeline": "jasper_tpu.pipeline.driver",
+    "scan_window": "jasper_tpu.polish.window",
+    "scan_window_tiled": "jasper_tpu.polish.window",
+}
+
+
+def __getattr__(name):
+    """Lazy top-level API (keeps `import jasper_tpu` jax-free until used)."""
+    mod = _API.get(name)
+    if mod is None:
+        raise AttributeError(f"module 'jasper_tpu' has no attribute {name!r}")
+    import importlib
+
+    return getattr(importlib.import_module(mod), name)
+
+
+def __dir__():
+    return sorted(list(globals()) + list(_API))

@@ -255,6 +255,58 @@ def read_qv_helper(path: str) -> tuple[int, int]:
 # -- full pipeline -----------------------------------------------------------
 
 
+def _polish_batches_mp(batch_paths, host_table, k, thr, passes, threads, workdir):
+    """Polish batches in parallel worker processes (reference P5:
+    `xargs -P $NUM_THREADS ./run_jasper.sh`, src/jasper.sh:206-215), each
+    running the jasper.py-parity CLI against a memmapped shared table."""
+    import subprocess
+    import sys
+
+    npy = os.path.join(workdir, f"table{k}.npy")
+    if not os.path.exists(npy):
+        np.save(npy, host_table.tab)
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    env["PYTHONPATH"] = root + os.pathsep + env.get("PYTHONPATH", "")
+    last_it = passes - 1
+    queue = list(batch_paths)
+    running: list[tuple[subprocess.Popen, str]] = []
+
+    def reap(block):
+        for i, (proc, bp) in enumerate(list(running)):
+            if block or proc.poll() is not None:
+                rc = proc.wait()
+                running.remove((proc, bp))
+                if rc != 0:
+                    for p2, _ in running:
+                        p2.kill()
+                    raise PipelineError(
+                        f"polishing worker for {os.path.basename(bp)} failed "
+                        f"(exit {rc})"
+                    )
+                bn = os.path.basename(bp)
+                os.replace(
+                    os.path.join(workdir, f"_iter{last_it}_{bn}.fixed.fa.tmp"),
+                    os.path.join(workdir, f"_iter{last_it}_{bn}.fixed.fa"),
+                )
+                return
+
+    while queue or running:
+        while queue and len(running) < threads:
+            bp = queue.pop(0)
+            bn = os.path.basename(bp)
+            proc = subprocess.Popen(
+                [sys.executable, "-m", "jasper_tpu.polish.runner",
+                 "--table-npy", npy, "--ksize", str(k), "-q", bp,
+                 "-p", str(passes), "--fix", "--fout", f"{bn}.fix.csv",
+                 "-ff", f"{bn}.fixed.fa.tmp", "--test", "-thre", str(thr)],
+                cwd=workdir, env=env,
+            )
+            running.append((proc, bp))
+        reap(block=True)
+    _rm(npy)
+
+
 def run_pipeline(
     assembly: str,
     reads: list[str] | None = None,
@@ -375,30 +427,41 @@ def run_pipeline(
         with open(threshold_txt, "w") as f:
             f.write(str(thr))
         log(f"Lower threshold for unreliable kmers is {thr}")
-        counts = CountSource(host_table)
-        # scan hot path on device: the host table's bucket layout is the
-        # device layout, so one host->HBM upload arms the batched scanner
-        import jax.numpy as jnp
-
-        from jasper_tpu.polish.device_engine import DevicePolishEngine, DeviceScanner
-
-        scanner = DeviceScanner(jnp.asarray(host_table.tab), k)
-
-        def engine_cls(c, kk, t):
-            return DevicePolishEngine(c, kk, t, scanner=scanner)
-
-        for bp in batch_paths:
-            bn = os.path.basename(bp)
-            polish_file(
-                bp, counts, k, thr, passes,
-                fix=True, test=True,
-                fout=f"{bn}.fix.csv", fixedout=f"{bn}.fixed.fa.tmp",
-                workdir=workdir, engine_cls=engine_cls,
+        if threads > 1 and len(batch_paths) > 1:
+            # reference-style process fan-out over batches (src/jasper.sh:212
+            # xargs -P); workers share the table zero-copy via a .npy memmap
+            # (the analog of the pre-warmed .jf page cache, sh:209-211)
+            _polish_batches_mp(
+                batch_paths, host_table, k, thr, passes, threads, workdir
             )
-            os.replace(
-                os.path.join(workdir, f"_iter{last_it}_{bn}.fixed.fa.tmp"),
-                os.path.join(workdir, f"_iter{last_it}_{bn}.fixed.fa"),
+        else:
+            counts = CountSource(host_table)
+            # scan hot path on device: the host table's bucket layout is the
+            # device layout, so one host->HBM upload arms the batched scanner
+            import jax.numpy as jnp
+
+            from jasper_tpu.polish.device_engine import (
+                DevicePolishEngine,
+                DeviceScanner,
             )
+
+            scanner = DeviceScanner(jnp.asarray(host_table.tab), k)
+
+            def engine_cls(c, kk, t):
+                return DevicePolishEngine(c, kk, t, scanner=scanner)
+
+            for bp in batch_paths:
+                bn = os.path.basename(bp)
+                polish_file(
+                    bp, counts, k, thr, passes,
+                    fix=True, test=True,
+                    fout=f"{bn}.fix.csv", fixedout=f"{bn}.fixed.fa.tmp",
+                    workdir=workdir, engine_cls=engine_cls,
+                )
+                os.replace(
+                    os.path.join(workdir, f"_iter{last_it}_{bn}.fixed.fa.tmp"),
+                    os.path.join(workdir, f"_iter{last_it}_{bn}.fixed.fa"),
+                )
         _rm(_marker(workdir, "join"))
         _touch(_marker(workdir, "correct"))
 

@@ -116,13 +116,29 @@ def main(argv=None) -> int:
                         help="The path to output the fixed assembly sequences")
     parser.add_argument("-p", "--passes", type=int, default=2,
                         help="The number of iterations of fixing.")
+    parser.add_argument("--table-npy", default=None,
+                        help="Load the count table from a .npy memmap instead "
+                             "of --db: zero-copy page-cache sharing across "
+                             "worker processes (the analog of the reference's "
+                             "shared .jf mmap, src/jasper.sh:209-211). "
+                             "Requires --ksize.")
     args = parser.parse_args(argv)
 
     try:
-        from jasper_tpu.io.jf import load_jf_into_host_table
+        import numpy as np
+
         from jasper_tpu.polish.engine import CountSource
 
-        host_table, _ = load_jf_into_host_table(args.db)
+        if args.table_npy:
+            from jasper_tpu.table.host_table import HostKmerTable
+
+            host_table = HostKmerTable(
+                args.ksize, np.load(args.table_npy, mmap_mode="r")
+            )
+        else:
+            from jasper_tpu.io.jf import load_jf_into_host_table
+
+            host_table, _ = load_jf_into_host_table(args.db)
         polish_file(
             args.query,
             CountSource(host_table),

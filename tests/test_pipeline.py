@@ -121,6 +121,31 @@ def test_pipeline_end_to_end(small_case):
     assert read_fasta(res2["polished"]) == polished
 
 
+def test_multiprocess_polish_matches_inprocess(small_case):
+    """threads>1 fans out worker processes over batches (reference xargs -P);
+    outputs must byte-match the in-process device-engine path."""
+    tmp_path, asm, rf, genome, draft = small_case
+    outs = {}
+    # batch must exceed assembly_bytes*0.9 so both runs use the requested
+    # size (sh:133 takes max(requested, computed)); 14000 still yields two
+    # batch files (chrA 12000 + chrB 3000 don't pack into one)
+    for t in (1, 3):
+        wd = tmp_path / f"t{t}"
+        wd.mkdir()
+        run_pipeline(
+            assembly=str(asm), reads=[str(rf)], k=25, threads=t, passes=1,
+            batch=14000, workdir=str(wd),
+        )
+        with open(wd / "asm.fa.polished.fasta") as f:
+            pol = f.read()
+        with open(wd / "asm.fa.fixes.csv") as f:
+            fx = f.read()
+        outs[t] = (pol, fx)
+    assert outs[1] == outs[3]
+    polished = read_fasta(str(tmp_path / "t3" / "asm.fa.polished.fasta"))
+    assert polished["chrA"] == genome
+
+
 def test_cli_end_to_end(small_case):
     tmp_path, asm, rf, genome, draft = small_case
     wd = tmp_path / "cli_run"
