@@ -1,0 +1,155 @@
+// Native host-side k-mer count-table query.
+//
+// One C call replaces the Python repair-path query chain
+// (jasper_tpu.polish.semantics.effective_canonical_words +
+//  jasper_tpu.table.host_table.HostKmerTable.lookup_one), which is the
+// host-side analog of the reference's per-k-mer SWIG crossing into
+// jellyfish binary_query_base (reference src/jasper.py:70-71 ->
+// jellyfish binary_dumper.hpp:148-189). Semantics are exact:
+//
+//  * effective key of a query string s: the first run of ACGT/acgt chars of
+//    s[:k], padded with 'A' (code 0) to k bases — matching MerDNA's
+//    from-string behavior (jellyfish mer_dna.hpp:38-55; zero bits read 'A').
+//  * canonical = min(key, revcomp(key)) under MSB-first word comparison.
+//  * probe: murmur3-32 home bucket, bucket-linear without wraparound,
+//    definitive miss at the first bucket containing an empty slot, bounded
+//    by the table's pad region (layout in jasper_tpu.table.kmer_table).
+//
+// Table memory layout (must match jasper_tpu/table/kmer_table.py):
+//   tab: uint32 [n_buckets + pad_buckets][64]
+//   each 64-u32 row = (64/sw) slots of sw u32: key words 0..W-1 (word 0
+//   least significant), slot word sw-1 = count (0 == empty).
+
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+constexpr int ROW_U32 = 64;
+constexpr int MAX_W = 7;  // k <= 112
+
+// ASCII -> 2-bit code; 0xFF = not ACGT (run terminator).
+struct CodeTab {
+  uint8_t t[256];
+  CodeTab() {
+    memset(t, 0xFF, sizeof(t));
+    t['A'] = t['a'] = 0;
+    t['C'] = t['c'] = 1;
+    t['G'] = t['g'] = 2;
+    t['T'] = t['t'] = 3;
+  }
+};
+const CodeTab kCode;
+
+inline uint32_t rotl32(uint32_t x, int r) { return (x << r) | (x >> (32 - r)); }
+
+// murmur3-32 body+fmix over W u32 words, seed "jspr" — identical to
+// jasper_tpu.ops.hashing.mix32.
+inline uint32_t mix32(const uint32_t* w, int W) {
+  uint32_t h = 0x6A737072u;
+  for (int j = 0; j < W; ++j) {
+    uint32_t k = w[j] * 0xCC9E2D51u;
+    k = rotl32(k, 15);
+    k *= 0x1B873593u;
+    h ^= k;
+    h = rotl32(h, 13);
+    h = h * 5u + 0xE6546B64u;
+  }
+  h ^= (uint32_t)(4 * W);
+  h ^= h >> 16;
+  h *= 0x85EBCA6Bu;
+  h ^= h >> 13;
+  h *= 0xC2B2AE35u;
+  h ^= h >> 16;
+  return h;
+}
+
+// Pack the effective canonical key of s[0:slen] (k bases, 'A'-padded past the
+// first non-ACGT char / end of string) into key[0..W-1].
+inline void effective_canonical_key(const char* s, int64_t slen, int k, int W,
+                                    uint32_t* key) {
+  uint8_t codes[2 * MAX_W * 16];  // k <= 112 < 224
+  int64_t n = slen < k ? slen : k;
+  int stop = 0;
+  for (; stop < n; ++stop) {
+    uint8_t c = kCode.t[(uint8_t)s[stop]];
+    if (c == 0xFF) break;
+    codes[stop] = c;
+  }
+  for (int p = stop; p < k; ++p) codes[p] = 0;  // 'A' padding
+
+  uint32_t fwd[MAX_W] = {0}, rc[MAX_W] = {0};
+  for (int p = 0; p < k; ++p) {
+    int bit = 2 * (k - 1 - p);
+    fwd[bit >> 5] |= (uint32_t)codes[p] << (bit & 31);
+    int bitr = 2 * p;  // rc base q = 3 - codes[k-1-q]; q = k-1-p
+    rc[bitr >> 5] |= (uint32_t)(3 - codes[p]) << (bitr & 31);
+  }
+  bool fwd_le = true;
+  for (int j = W - 1; j >= 0; --j) {
+    if (fwd[j] != rc[j]) { fwd_le = fwd[j] < rc[j]; break; }
+  }
+  const uint32_t* sel = fwd_le ? fwd : rc;
+  for (int j = 0; j < W; ++j) key[j] = sel[j];
+}
+
+// Probe one packed key. Layout args as documented above.
+inline uint32_t probe(const uint32_t* tab, uint64_t n_buckets, int pad_buckets,
+                      int W, int sw, const uint32_t* key) {
+  uint64_t b = mix32(key, W) & (n_buckets - 1);
+  uint64_t last = n_buckets + (uint64_t)pad_buckets - 1;
+  int slots = ROW_U32 / sw;
+  for (;;) {
+    const uint32_t* row = tab + b * ROW_U32;
+    bool has_empty = false;
+    for (int sidx = 0; sidx < slots; ++sidx) {
+      const uint32_t* slot = row + sidx * sw;
+      uint32_t cnt = slot[sw - 1];
+      if (cnt == 0) { has_empty = true; continue; }
+      bool eq = true;
+      for (int j = 0; j < W; ++j)
+        if (slot[j] != key[j]) { eq = false; break; }
+      if (eq) return cnt;
+    }
+    if (has_empty || b >= last) return 0;
+    ++b;
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Count of the effective canonical k-mer of s[0:slen]. Exact equivalent of
+// CountSource.count's uncached path.
+uint32_t jt_query_str(const uint32_t* tab, uint64_t n_buckets, int pad_buckets,
+                      int k, int W, int sw, const char* s, int64_t slen) {
+  uint32_t key[MAX_W];
+  effective_canonical_key(s, slen, k, W, key);
+  return probe(tab, n_buckets, pad_buckets, W, sw, key);
+}
+
+// Batched substring queries over one string: out[i] = count of the effective
+// canonical k-mer of s[starts[i] : starts[i]+k] (starts clamped to [0, slen]).
+// Serves strided check_sequence / count_bad loops without per-call overhead.
+void jt_query_substr_batch(const uint32_t* tab, uint64_t n_buckets,
+                           int pad_buckets, int k, int W, int sw,
+                           const char* s, int64_t slen, const int64_t* starts,
+                           int64_t n, uint32_t* out) {
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t st = starts[i];
+    if (st < 0) st = 0;
+    if (st > slen) st = slen;
+    uint32_t key[MAX_W];
+    effective_canonical_key(s + st, slen - st, k, W, key);
+    out[i] = probe(tab, n_buckets, pad_buckets, W, sw, key);
+  }
+}
+
+// Expose the packed effective canonical key (test hook).
+void jt_effective_key(int k, int W, const char* s, int64_t slen,
+                      uint32_t* out) {
+  effective_canonical_key(s, slen, k, W, out);
+}
+
+}  // extern "C"
