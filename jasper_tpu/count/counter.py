@@ -1,18 +1,21 @@
 """Canonical k-mer counting of reads into the device table.
 
 TPU-native equivalent of `jellyfish count -C` (reference
-sub_commands/count_main.cc:218-385): instead of N pthreads CAS-inserting
-one mer at a time into a shared hash, fixed-size code chunks stream to the
-device, every window is extracted/canonicalized in vectorized form, and one
-batched insert accumulates the whole chunk (duplicates legal; see
-jasper_tpu.table.kmer_table).
+sub_commands/count_main.cc:218-385). Where jellyfish amortizes random-access
+latency with N pthreads CAS-inserting into a shared hash
+(hash_counter.hpp:91-126), the TPU amortizes with its sorter: fixed-size
+code chunks stream to the device, every window is extracted/canonicalized in
+vectorized form, each chunk collapses to a sorted run of (distinct key,
+count) by sort + segment-sum, runs accumulate in an LSM-style level list
+(jasper_tpu.count.sorted_runs), and ONE waterfall build materializes the
+bucketed lookup table at the end (jasper_tpu.table.build). No scatter in the
+steady state — measured ~25x slower than sort/gather on v5e
+(tools/layout_sweep.py).
 
-Sizing: the table grows by rebuild when occupancy would no longer guarantee
-room for a whole chunk of new keys — the TPU analog of jellyfish's
-cooperative size-doubling (hash_counter.hpp:178-238), except growth happens
-*before* an insert can fail, so inserts are never partially applied. The
-initial size comes from the jellyfish `-s` hint (reads bytes / 10,
-reference src/jasper.sh:82).
+Sizing: the reference's cooperative size-doubling (hash_counter.hpp:178-238)
+has no analog because runs grow fluidly; the jellyfish `-s` hint (reads
+bytes / 10, reference src/jasper.sh:82) only seeds the --disk dump
+threshold and the final table's size estimate.
 """
 
 from __future__ import annotations
@@ -24,8 +27,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from jasper_tpu.count.sorted_runs import RunAccumulator, chunk_to_run, run_from_keys
 from jasper_tpu.io.fastx import stream_codes, total_file_bytes
 from jasper_tpu.ops.kmer import canonical_windows
+from jasper_tpu.table.build import build_table
 from jasper_tpu.table.kmer_table import empty_table, insert_kmers, slots_for
 
 GROW_LOAD_LIMIT = 0.8  # grow when occupancy + chunk windows would exceed this
@@ -128,65 +133,44 @@ def count_reads(
     extraction and dedup run host-side and only the filtered insert runs on
     device.
 
-    on_full: optional callback(tab) -> None. When set, the table is NOT
-    grown past its initial size; instead the callback receives the full
-    table (to dump to disk) and counting resumes into a zeroed table — the
+    on_full: optional callback(tab) -> None. When set, accumulated runs are
+    NOT kept past ~n_slots resident lanes; instead the callback receives a
+    built table (to dump to disk) and counting resumes empty — the
     reference's --disk dump-and-merge mode (count_main.cc:187-192,347-373).
-    The callback also receives the final table at the end of the stream.
+    The caller dumps/merges the returned final table itself.
     """
     paths = list(paths)
     if n_slots is None:
         if hash_size_hint is None:
             hash_size_hint = max(1024, total_file_bytes(paths) // 10)
         n_slots = slots_for(max(hash_size_hint, chunk_len), GROW_LOAD_LIMIT)
-    tab = empty_table(k, n_slots)
-    from jasper_tpu.table.kmer_table import table_capacity
-
-    capacity = table_capacity(tab, k)
+    acc = RunAccumulator(unit=max(1 << 14, (chunk_len - k + 1) // 8))
     occupied = 0
     n_chunks = 0
-    n_windows = chunk_len - k + 1
     for codes, _fill in stream_codes(paths, k, chunk_len, min_qual_char):
-        if occupied + n_windows > GROW_LOAD_LIMIT * capacity:
-            if on_full is not None:
-                on_full(tab)
-                tab = empty_table(k, n_slots)
-                occupied = 0
-            else:
-                tab, n_slots = grow_table(tab, k, occupied + n_windows)
-                capacity = table_capacity(tab, k)
+        if on_full is not None and acc.n_resident_lanes() > n_slots:
+            on_full(_finish_to_table(acc, k))
+            acc = RunAccumulator(unit=acc.unit)
         if key_filter is None:
-            tab, n_pending, n_placed = count_chunk(tab, jnp.asarray(codes), k, canonical)
+            h, keys, counts, n_act = chunk_to_run(jnp.asarray(codes), k, canonical)
         else:
-            keys, mult = _unique_chunk_keys(codes, k, canonical)
-            mult = np.asarray(key_filter(keys, mult), dtype=np.uint32)
+            ukeys, mult = _unique_chunk_keys(codes, k, canonical)
+            mult = np.asarray(key_filter(ukeys, mult), dtype=np.uint32)
             keep = mult > 0
-            keys, mult = keys[keep], mult[keep]
-            B = 1 << max(10, int(np.ceil(np.log2(max(len(keys), 1)))))
-            kk = np.zeros((B, keys.shape[1] if len(keys) else 1), dtype=np.uint32)
-            cc = np.zeros(B, dtype=np.uint32)
-            act = np.zeros(B, dtype=bool)
-            if len(keys):
-                kk[: len(keys)] = keys
-                cc[: len(keys)] = mult
-                act[: len(keys)] = True
-            else:
-                from jasper_tpu.ops.kmer import words_per_kmer
-
-                kk = np.zeros((B, words_per_kmer(k)), dtype=np.uint32)
-            tab, n_pending, n_placed = _reinsert(
-                tab, jnp.asarray(kk), jnp.asarray(cc), jnp.asarray(act)
-            )
-        occupied += int(n_placed)
-        if int(n_pending):
-            raise RuntimeError(
-                f"k-mer table full ({n_slots} slots) despite capacity guarantee "
-                "— this is a bug"
-            )
+            h, keys, counts, n_act = run_from_keys(ukeys[keep], mult[keep], k)
+        acc.push(h, keys, counts, int(n_act))
+        occupied = acc.n_resident_lanes()
         n_chunks += 1
         if progress is not None:
             progress(n_chunks, occupied)
-    return tab
+    return _finish_to_table(acc, k)
+
+
+def _finish_to_table(acc: RunAccumulator, k: int):
+    run = acc.finish()
+    if run is None:
+        return empty_table(k, 64)
+    return build_table(run, k)
 
 
 def count_sequences(seqs: Iterable[str], k: int, n_slots: int = 1 << 16):
@@ -200,12 +184,5 @@ def count_sequences(seqs: Iterable[str], k: int, n_slots: int = 1 << 16):
     codes = np.concatenate(parts) if parts else np.zeros(0, dtype=np.uint8)
     if len(codes) < k:
         return empty_table(k, n_slots)
-    tab = empty_table(k, n_slots)
-    from jasper_tpu.table.kmer_table import table_capacity
-
-    if len(codes) - k + 1 > GROW_LOAD_LIMIT * table_capacity(tab, k):
-        tab, n_slots = grow_table(tab, k, len(codes) - k + 1)
-    tab, n_pending, _ = count_chunk(tab, jnp.asarray(codes), k)
-    if int(n_pending) > 0:
-        raise RuntimeError("table full")
-    return tab
+    run = chunk_to_run(jnp.asarray(codes), k)
+    return build_table((run[0], run[1], run[2], int(run[3])), k)

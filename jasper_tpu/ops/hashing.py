@@ -49,3 +49,28 @@ def mix32(xp, words):
 def hash_words_np(words: np.ndarray) -> np.ndarray:
     with np.errstate(over="ignore"):
         return mix32(np, words.astype(np.uint32))
+
+
+def home_of(xp, h, n_buckets: int, owner_bits: int = 0):
+    """Home bucket from the hash: the TOP ``log2(n_buckets)`` bits after
+    skipping ``owner_bits`` shard-owner bits.
+
+    Top-bit addressing makes bucket order == hash order, so key streams
+    sorted by ``h`` are sorted by home bucket (the property the sort-based
+    counter and the waterfall table build rely on), and the sharded table's
+    owner prefix (parallel.sharded_table) composes with the local home as a
+    longer prefix of the same hash.
+    """
+    lb = int(n_buckets - 1).bit_length()
+    if n_buckets <= 1:
+        return (h * 0).astype(xp.uint32) if hasattr(h, "astype") else 0
+    u = xp.uint32
+    return ((h.astype(xp.uint32) << u(owner_bits)) >> u(32 - lb)).astype(xp.uint32)
+
+
+def home_of_int(h: int, n_buckets: int, owner_bits: int = 0) -> int:
+    """Scalar-python twin of home_of (host probe paths)."""
+    lb = int(n_buckets - 1).bit_length()
+    if n_buckets <= 1:
+        return 0
+    return ((h << owner_bits) & 0xFFFFFFFF) >> (32 - lb)

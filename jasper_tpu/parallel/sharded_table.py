@@ -50,6 +50,10 @@ def _owner_shift(n_table: int) -> int:
     return 32 - int(math.log2(n_table)) if n_table > 1 else 32
 
 
+def _owner_bits(n_table: int) -> int:
+    return int(math.log2(n_table)) if n_table > 1 else 0
+
+
 # -- sharded build -----------------------------------------------------------
 
 
@@ -78,7 +82,8 @@ def build_sharded(mesh: Mesh, keys, counts, local_slots: int):
         owner = (h >> jnp.uint32(shift)) if D > 1 else jnp.zeros_like(h)
         mine = owner == me
         tab = jnp.zeros(local_shape, dtype=jnp.uint32)
-        tab, n_pending, _ = insert_kmers(tab, keys, counts, mine)
+        tab, n_pending, _ = insert_kmers(tab, keys, counts, mine,
+                                         owner_bits=_owner_bits(D))
         return tab[None], n_pending[None]
 
     fn = jax.jit(
@@ -168,7 +173,8 @@ def sharded_lookup_fn(mesh: Mesh, W: int, batch_per_device: int):
 
     def per_device(tab, keys, valid):
         order, slot, n_overflow, rk, rv = router.route_keys(keys, valid)
-        local_counts = lookup_kmers(tab[0], rk, rv)
+        local_counts = lookup_kmers(tab[0], rk, rv,
+                                    owner_bits=_owner_bits(router.D))
         res = router.route_back(order, slot, local_counts, keys.shape[0])
         return res, n_overflow[None]
 
@@ -203,7 +209,8 @@ def sharded_insert_fn(mesh: Mesh, W: int, batch_per_device: int):
         order, slot, n_overflow, rk, rv = router.route_keys(keys, valid)
         sc = router.scatter_to_buckets(slot, counts[order])
         rc = router.exchange(sc[: router.D * router.cap])
-        new_tab, n_pending, _ = insert_kmers(tab[0], rk, rc, rv)
+        new_tab, n_pending, _ = insert_kmers(tab[0], rk, rc, rv,
+                                             owner_bits=_owner_bits(router.D))
         return new_tab[None], n_pending[None], n_overflow[None]
 
     @functools.partial(jax.jit, donate_argnums=0)
@@ -242,7 +249,8 @@ def sharded_scan_fn(mesh: Mesh, k: int, codes_per_device: int, divisor: int = 50
     def per_device(tab, codes, thre):
         keys, valid = canonical_windows(jnp, codes[0], k)
         order, slot, n_overflow, rk, rv = router.route_keys(keys, valid)
-        local_counts = lookup_kmers(tab[0], rk, rv)
+        local_counts = lookup_kmers(tab[0], rk, rv,
+                                    owner_bits=_owner_bits(router.D))
         counts = router.route_back(order, slot, local_counts, keys.shape[0])
         t = thre[0]
         below = valid & (counts < t)

@@ -13,7 +13,7 @@ from __future__ import annotations
 import numpy as np
 
 from jasper_tpu.ops import codes as codes_mod
-from jasper_tpu.ops.hashing import hash_words_np
+from jasper_tpu.ops.hashing import hash_words_np, home_of, home_of_int
 from jasper_tpu.ops.kmer import canonical_windows, words_per_kmer
 from jasper_tpu.table.kmer_table import PAD_BUCKETS, ROW_U32, slot_words_for
 
@@ -49,7 +49,7 @@ class HostKmerTable:
         counts = np.asarray(counts, dtype=np.uint32)
         flat = self.tab.reshape(-1, sw)
         ids = np.arange(B, dtype=np.uint32)
-        home = (hash_words_np(keys) & self.bmask).astype(np.int64)
+        home = home_of(np, hash_words_np(keys), self.n_buckets).astype(np.int64)
         off = np.zeros(B, dtype=np.int64)
         pending = np.ones(B, dtype=bool)
         claim = np.full(flat.shape[0], 0xFFFFFFFF, dtype=np.uint32)
@@ -91,7 +91,7 @@ class HostKmerTable:
         """Vectorized probe, same algorithm as the device lookup."""
         W, sw, S = self.W, self.sw, self.slots
         B = keys.shape[0]
-        home = (hash_words_np(keys) & self.bmask).astype(np.int64)
+        home = home_of(np, hash_words_np(keys), self.n_buckets).astype(np.int64)
         res = np.zeros(B, dtype=np.uint32)
         pending = np.ones(B, dtype=bool) if valid is None else valid.copy()
         off = np.zeros(B, dtype=np.int64)
@@ -131,7 +131,7 @@ class HostKmerTable:
         h ^= h >> 13
         h = (h * 0xC2B2AE35) & M
         h ^= h >> 16
-        b = int(h & self.bmask)
+        b = home_of_int(h, self.n_buckets)
         last = self.n_buckets + PAD_BUCKETS - 1
         while True:
             rows = self.tab[b].reshape(S, sw)

@@ -42,7 +42,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from jasper_tpu.ops.hashing import mix32
+from jasper_tpu.ops.hashing import home_of, mix32
 from jasper_tpu.ops.kmer import words_per_kmer
 
 ROW_U32 = 64
@@ -126,22 +126,31 @@ def _dedupe_sorted(keys, counts, active):
     return skeys, totals.astype(jnp.uint32), start
 
 
-def insert_kmers(tab, keys, counts, active, max_rounds: int = 512):
+def insert_kmers(tab, keys, counts, active, max_rounds: int = 512,
+                 with_rounds: bool = False, owner_bits: int = 0):
     """Insert-or-add a batch of k-mers (duplicates legal).
 
     tab: uint32 [n_buckets+PAD, 64]; keys uint32 [B, W]; counts uint32 [B];
     active bool [B]. Returns (tab, n_pending, n_placed); n_pending > 0 means
     keys could not be placed within PAD_BUCKETS of their home (callers grow).
+    with_rounds=True (trace-time flag) appends the claim-round count, for
+    profiling. owner_bits: hash bits consumed by shard routing before the
+    home bits (parallel.sharded_table).
+
+    NOTE: for bulk counting, prefer the scatter-free sort path
+    (jasper_tpu.count.sorted_runs + jasper_tpu.table.build) — measured ~20x
+    faster on TPU (tools/layout_sweep.py: scatter is ~25x slower than
+    gather/sort). This claim-round insert remains for incremental adds
+    (HashCounter bindings, --if updates) and small batches.
     """
     n_buckets, W, sw, slots = _layout(tab, keys)
-    bmask = jnp.uint32(n_buckets - 1)
     B = keys.shape[0]
     vzero = active[0].astype(jnp.uint32) * jnp.uint32(0)
 
     keys, counts, active = _dedupe_sorted(keys, counts.astype(jnp.uint32), active)
 
     ids = jnp.arange(B, dtype=jnp.uint32)
-    home = (mix32(jnp, keys) & bmask) | vzero
+    home = home_of(jnp, mix32(jnp, keys), n_buckets, owner_bits) | vzero
     off = jnp.zeros(B, jnp.uint32) | vzero
     pending = active | (vzero != 0)
     tab = tab | vzero
@@ -208,10 +217,13 @@ def insert_kmers(tab, keys, counts, active, max_rounds: int = 512):
     tab, claim, off, pending, r, stall, placed, failed = jax.lax.while_loop(
         cond, body, (tab, claim, off, pending, vzero, vzero, vzero, vzero)
     )
+    if with_rounds:
+        return tab, jnp.sum(pending.astype(jnp.uint32)) + failed, placed, r
     return tab, jnp.sum(pending.astype(jnp.uint32)) + failed, placed
 
 
-def lookup_kmers(tab, keys, valid, max_rounds: int = PAD_BUCKETS + 2):
+def lookup_kmers(tab, keys, valid, max_rounds: int = PAD_BUCKETS + 2,
+                 owner_bits: int = 0):
     """Batched count lookup: one gather resolves hits and definitive misses;
     full-bucket lanes continue via compacted rounds.
 
@@ -220,10 +232,9 @@ def lookup_kmers(tab, keys, valid, max_rounds: int = PAD_BUCKETS + 2):
     src/jasper.py:70-73).
     """
     n_buckets, W, sw, slots = _layout(tab, keys)
-    bmask = jnp.uint32(n_buckets - 1)
     B = keys.shape[0]
     vzero = valid[0].astype(jnp.uint32) * jnp.uint32(0)
-    home = (mix32(jnp, keys) & bmask) | vzero
+    home = home_of(jnp, mix32(jnp, keys), n_buckets, owner_bits) | vzero
 
     def probe(rows, kk):
         skeys, scnt = _slot_view(rows, W, sw, slots)
