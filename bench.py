@@ -51,14 +51,9 @@ def load_baseline():
 def main():
     import jax
 
-    try:
-        cache = os.path.expanduser("~/.cache/jax_comp")
-        os.makedirs(cache, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
-    except Exception:
-        pass
+    from jasper_tpu.utils.jaxenv import setup_compilation_cache
+
+    setup_compilation_cache()
 
     import jax.numpy as jnp
 

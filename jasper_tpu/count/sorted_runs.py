@@ -85,6 +85,36 @@ def make_run(keys, counts, valid):
     return _compact(sh, skeys, totals)
 
 
+def make_run_ones(keys, valid):
+    """Windows -> UNCOMPACTED run, multiplicity 1 per valid lane (the
+    counting hot path). One 5-operand sort; totals are run LENGTHS derived
+    from lane positions, so no counts operand rides through the sort and no
+    second compaction sort runs — duplicates stay interspersed as dead
+    (count 0) lanes, which merge_runs and table.build both tolerate.
+    Returns (h, keys, totals)."""
+    B, W = keys.shape
+    h = mix32(jnp, keys)
+    dead = (~valid).astype(jnp.uint32)
+    ops = (dead, h) + tuple(keys[:, W - 1 - j] for j in range(W))
+    s = jax.lax.sort(ops, num_keys=2 + W)
+    sdead, sh = s[0], s[1]
+    skeys = jnp.stack([s[2 + W - 1 - j] for j in range(W)], axis=-1)
+    svalid = sdead == 0
+    same = (
+        svalid
+        & jnp.roll(svalid, 1)
+        & (sh == jnp.roll(sh, 1))
+        & jnp.all(skeys == jnp.roll(skeys, 1, axis=0), axis=-1)
+    ).at[0].set(False)
+    rep = svalid & ~same
+    pos = jnp.arange(B, dtype=jnp.uint32)
+    is_last = jnp.roll(~same, -1).at[B - 1].set(True)
+    cand = jnp.where(is_last, pos, U32_MAX)
+    run_end = jax.lax.cummin(cand[::-1])[::-1]
+    totals = jnp.where(rep, run_end - pos + 1, 0)
+    return sh, skeys, totals
+
+
 def _compact(h, keys, counts):
     """Stable-sort lanes so actives (counts>0) come first; preserves the
     (h, key) order of actives. Returns (h, keys, counts, n_active)."""

@@ -1,0 +1,168 @@
+"""Production multi-chip scanners + mesh/scanner selection policy.
+
+The reference's whole P5 deployment is xargs -P processes sharing one
+mmapped .jf (reference src/jasper.sh:206-215). The TPU deployment has two
+regimes, selected by select_scanner():
+
+  * table fits one chip's HBM -> replicated table, data-parallel tiles
+    (polish.device_engine.DeviceScanner over a ("data",) mesh);
+  * table exceeds one chip -> hash-prefix-sharded table, window tiles
+    data-parallel on the "data" axis, lookups routed all-to-all on the
+    "table" axis (ShardedDeviceScanner below, over sharded_scan_fn).
+
+Both produce the same ContigScan arrays consumed by DevicePolishEngine, so
+the byte-exact repair replay is identical in every regime. The driver
+(pipeline.driver.run_pipeline) and the dryrun entry (__graft_entry__)
+call this same policy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from jasper_tpu.parallel.sharded_table import (
+    build_sharded,
+    make_mesh,
+    sharded_scan_fn,
+)
+
+# conservative per-chip HBM budget for a replicated table (v5e has 16 GB;
+# leave room for scan batches, sort scratch, and XLA overhead)
+HBM_TABLE_BUDGET = 8 << 30
+
+
+class ShardedDeviceScanner:
+    """DeviceScanner drop-in whose count table is sharded across the mesh's
+    "table" axis. prepare() contract matches polish.device_engine."""
+
+    def __init__(self, host_table, k: int, mesh, divisor: int = 50,
+                 tile: int = 1 << 18):
+        import jax.numpy as jnp
+
+        self.k = int(k)
+        self.divisor = divisor
+        self.tile = tile
+        self.mesh = mesh
+        self.host_table = host_table
+        self.n_data = mesh.shape["data"]
+        self.n_table = mesh.shape["table"]
+        self.d_total = self.n_data * self.n_table
+
+        keys, counts = host_table.items()
+        if len(keys) == 0:  # empty DB: one inactive lane keeps shapes sane
+            keys = np.zeros((1, host_table.W), dtype=np.uint32)
+            counts = np.zeros(1, dtype=np.uint32)
+        # local sub-tables sized for a uniform shard at the host table's own
+        # load factor (top-bit sharding is uniform under mix32)
+        local_slots = max(
+            1024, int(2 ** np.ceil(np.log2(max(len(keys), 1) / self.n_table / 0.6)))
+        )
+        self.tabs = build_sharded(mesh, jnp.asarray(keys),
+                                  jnp.asarray(counts), local_slots)
+        self._scan = sharded_scan_fn(mesh, self.k, tile + self.k - 1, divisor)
+
+    def prepare(self, seq: str, solid_thre: int):
+        import jax.numpy as jnp
+
+        from jasper_tpu.ops.codes import encode
+        from jasper_tpu.polish.device_engine import ContigScan
+
+        k, tile, D = self.k, self.tile, self.d_total
+        codes = encode(seq)
+        L = len(codes)
+        n = L - k + 1
+        if n <= 0:
+            z = np.zeros(0, bool)
+            return ContigScan(np.zeros(0, np.uint32), z, z)
+        counts = np.empty(n, np.uint32)
+        thre = jnp.full((D,), solid_thre, dtype=jnp.uint32)
+        pos = 0
+        while pos < n:
+            chunks = np.full((D, tile + k - 1), 255, dtype=np.uint8)
+            for d in range(D):
+                s = pos + d * tile
+                mm = min(tile, max(0, n - s))
+                if mm:
+                    chunks[d, : mm + k - 1] = codes[s : s + mm + k - 1]
+            c, _b, _r, ovf, qkeys, unres = self._scan(
+                self.tabs, jnp.asarray(chunks), thre
+            )
+            c = np.asarray(c)
+            if int(ovf) > 0:
+                # residual distinct-key routing overflow: answer those lanes
+                # from the host table (exact, rare)
+                u = np.asarray(unres)
+                qk = np.asarray(qkeys)
+                for d in range(D):
+                    ui = np.flatnonzero(u[d])
+                    if len(ui):
+                        c[d, ui] = self.host_table.lookup_words(qk[d][ui])
+            for d in range(D):
+                s = pos + d * tile
+                mm = min(tile, max(0, n - s))
+                if mm:
+                    counts[s : s + mm] = c[d, :mm]
+            pos += D * tile
+
+        # classification on host, identical to polish.window.scan_window_tiled
+        bad = (codes > 3).astype(np.int32)
+        cs = np.concatenate([[0], np.cumsum(bad)])
+        valid = (cs[k : n + k] - cs[:n]) == 0
+        counts[~valid] = 0
+        below = valid & (counts < np.uint32(solid_thre))
+        idx = np.maximum(np.arange(n) - k, 0)
+        prev = counts[idx].astype(np.uint64)
+        ceil_prev = prev // self.divisor + (prev % self.divisor != 0)
+        rel = valid & ~below & (np.arange(n) > 0) & (counts < ceil_prev)
+        prev_ok = valid[np.maximum(np.arange(n) - k, 0)]
+        unsafe = (~valid) | below | rel | (~prev_ok)
+        from jasper_tpu.polish.device_engine import ContigScan
+
+        return ContigScan(counts, valid, unsafe)
+
+
+def mesh_for_table(table_bytes: int, num_devices: int,
+                   hbm_budget: int = HBM_TABLE_BUDGET):
+    """Pick (n_table, n_data): smallest power-of-two table axis whose shard
+    fits the per-chip budget; remaining devices go data-parallel."""
+    n_table = 1
+    while n_table < num_devices and table_bytes // n_table > hbm_budget:
+        n_table *= 2
+    n_data = max(1, num_devices // n_table)
+    return n_table, n_data
+
+
+def select_scanner(host_table, k: int, num_devices: int | None = None,
+                   hbm_budget: int = HBM_TABLE_BUDGET, tile: int = 1 << 20,
+                   devices=None):
+    """The driver's scanner policy. Returns a scanner object with
+    .prepare(seq, thre) -> ContigScan."""
+    import jax
+    import jax.numpy as jnp
+
+    from jasper_tpu.polish.device_engine import DeviceScanner
+
+    import os
+
+    env_budget = os.environ.get("JASPER_TPU_HBM_BUDGET")
+    if env_budget:
+        hbm_budget = int(env_budget)
+    env_tile = os.environ.get("JASPER_TPU_SCAN_TILE")
+    if env_tile:
+        tile = int(env_tile)
+    devices = list(devices if devices is not None else jax.devices())
+    if num_devices is None:
+        num_devices = len(devices)
+    num_devices = max(1, min(num_devices, len(devices)))
+    table_bytes = host_table.tab.nbytes
+    n_table, n_data = mesh_for_table(table_bytes, num_devices, hbm_budget)
+    if n_table > 1:
+        mesh = make_mesh(n_table, n_data, devices=devices)
+        return ShardedDeviceScanner(host_table, k, mesh,
+                                    tile=max(1 << 14, tile // n_data))
+    mesh = None
+    if num_devices > 1:
+        from jax.sharding import Mesh
+
+        mesh = Mesh(np.array(devices[:num_devices]), ("data",))
+    return DeviceScanner(jnp.asarray(host_table.tab), k, tile=tile, mesh=mesh)

@@ -332,6 +332,9 @@ def run_pipeline(
     from jasper_tpu.polish.runner import polish_file
     from jasper_tpu.table import HostKmerTable
 
+    from jasper_tpu.utils.jaxenv import setup_compilation_cache
+
+    setup_compilation_cache()
     workdir = os.path.abspath(workdir)
     os.makedirs(workdir, exist_ok=True)
     if not os.path.exists(assembly) or os.path.getsize(assembly) == 0:
@@ -436,16 +439,15 @@ def run_pipeline(
             )
         else:
             counts = CountSource(host_table)
-            # scan hot path on device: the host table's bucket layout is the
-            # device layout, so one host->HBM upload arms the batched scanner
-            import jax.numpy as jnp
+            # scan hot path on device: replicated table + data-parallel
+            # tiles when it fits HBM, hash-sharded table + all-to-all
+            # routing when it doesn't (reference P5 deployment analog,
+            # src/jasper.sh:206-215)
+            from jasper_tpu.parallel.scanner import select_scanner
+            from jasper_tpu.polish.device_engine import DevicePolishEngine
 
-            from jasper_tpu.polish.device_engine import (
-                DevicePolishEngine,
-                DeviceScanner,
-            )
-
-            scanner = DeviceScanner(jnp.asarray(host_table.tab), k)
+            scanner = select_scanner(host_table, k, num_devices=num_devices)
+            log(f"Scanner: {type(scanner).__name__}")
 
             def engine_cls(c, kk, t):
                 return DevicePolishEngine(c, kk, t, scanner=scanner)

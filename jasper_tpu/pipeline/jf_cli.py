@@ -478,6 +478,9 @@ COMMANDS = {
 
 
 def main(argv=None) -> int:
+    from jasper_tpu.utils.jaxenv import setup_compilation_cache
+
+    setup_compilation_cache()
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] in ("-h", "--help"):
         print("Usage: jellyfish-tpu <cmd> [options] [args...]")

@@ -222,14 +222,18 @@ def insert_kmers(tab, keys, counts, active, max_rounds: int = 512,
     return tab, jnp.sum(pending.astype(jnp.uint32)) + failed, placed
 
 
-def lookup_kmers(tab, keys, valid, max_rounds: int = PAD_BUCKETS + 2,
+def lookup_kmers(tab, keys, valid, max_rounds: int | None = None,
                  owner_bits: int = 0):
     """Batched count lookup: one gather resolves hits and definitive misses;
     full-bucket lanes continue via compacted rounds.
 
     keys uint32 [B, W]; valid bool [B] -> uint32 [B] counts (0 for absent
     keys and invalid lanes, the contract the reference scan relies on,
-    src/jasper.py:70-73).
+    src/jasper.py:70-73). Every lane resolves: each round advances up to C
+    pending lanes one probe, and a lane is definitively resolved within
+    PAD_BUCKETS+2 of its own probes (the insert invariant), so the default
+    round bound ceil(B/C)*(PAD_BUCKETS+2) cannot starve lanes even under
+    pathological clustering — no silent zeros.
     """
     n_buckets, W, sw, slots = _layout(tab, keys)
     B = keys.shape[0]
@@ -251,6 +255,8 @@ def lookup_kmers(tab, keys, valid, max_rounds: int = PAD_BUCKETS + 2,
     pending = valid & ~hit & ~has_empty
 
     C = min(B, max(512, B // 16))
+    if max_rounds is None:
+        max_rounds = -(-B // C) * (PAD_BUCKETS + 2)
     off = jnp.ones(B, jnp.uint32) | vzero
 
     def cond(state):

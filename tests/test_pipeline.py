@@ -175,3 +175,54 @@ def test_cli_errors(tmp_path):
     )
     assert r.returncode == 1
     assert "query file does not exist" in r.stderr
+
+
+def test_sharded_scanner_pipeline_matches_replicated(small_case, monkeypatch):
+    """VERDICT r1 #2: the production pipeline must exercise the sharded
+    table + all-to-all scan when the DB exceeds the per-chip budget, and
+    byte-match the replicated single-device run."""
+    tmp_path, asm, rf, genome, draft = small_case
+    outs = {}
+    for mode in ("replicated", "sharded"):
+        wd = tmp_path / mode
+        wd.mkdir()
+        if mode == "sharded":
+            # force table sharding across the 8-device CPU mesh
+            monkeypatch.setenv("JASPER_TPU_HBM_BUDGET", "4096")
+            monkeypatch.setenv("JASPER_TPU_SCAN_TILE", str(1 << 12))
+        else:
+            monkeypatch.delenv("JASPER_TPU_HBM_BUDGET", raising=False)
+            monkeypatch.setenv("JASPER_TPU_SCAN_TILE", str(1 << 12))
+        run_pipeline(
+            assembly=str(asm), reads=[str(rf)], k=25, threads=1, passes=1,
+            batch=20000, workdir=str(wd),
+        )
+        with open(wd / "asm.fa.polished.fasta") as f:
+            pol = f.read()
+        with open(wd / "asm.fa.fixes.csv") as f:
+            fx = f.read()
+        outs[mode] = (pol, fx)
+    assert outs["sharded"] == outs["replicated"]
+    polished = read_fasta(str(tmp_path / "sharded" / "asm.fa.polished.fasta"))
+    assert polished["chrA"] == genome
+
+
+def test_select_scanner_policy(small_case):
+    from jasper_tpu.parallel.scanner import (
+        ShardedDeviceScanner,
+        mesh_for_table,
+        select_scanner,
+    )
+    from jasper_tpu.polish.device_engine import DeviceScanner
+    from jasper_tpu.table import HostKmerTable
+
+    host = HostKmerTable.empty(17, 4096)
+    # big budget -> replicated scanner
+    s = select_scanner(host, 17, hbm_budget=1 << 40)
+    assert isinstance(s, DeviceScanner)
+    # tiny budget -> sharded scanner across the table axis
+    s2 = select_scanner(host, 17, hbm_budget=1024)
+    assert isinstance(s2, ShardedDeviceScanner)
+    assert mesh_for_table(1 << 20, 8, hbm_budget=1 << 17) == (8, 1)
+    assert mesh_for_table(1 << 20, 8, hbm_budget=1 << 19) == (2, 4)
+    assert mesh_for_table(100, 8, hbm_budget=1 << 30) == (1, 8)

@@ -49,8 +49,9 @@ def test_sharded_lookup_matches_single(mesh_shape):
     valid = rng.random(N) < 0.95
 
     fn = sharded_lookup_fn(mesh, W, bpd)
-    res, ovf = fn(tabs, jnp.asarray(queries), jnp.asarray(valid))
+    res, ovf, unresolved = fn(tabs, jnp.asarray(queries), jnp.asarray(valid))
     assert int(ovf) == 0, "bucket overflow on uniform queries"
+    assert not bool(jnp.any(unresolved))
 
     # ground truth from a single table
     tab = empty_table(k, 16384)
@@ -86,9 +87,10 @@ def test_replicated_lookup_matches_single():
     np.testing.assert_array_equal(np.asarray(res), host.lookup_words(queries))
 
 
-def test_skewed_queries_overflow_reported():
-    """All queries to one shard: overflow must be counted, and reported
-    results for non-overflowed lanes still correct."""
+def test_duplicate_skew_resolves_in_one_round():
+    """All lanes query the SAME key (the poly-A repeat case): the router's
+    dedupe collapses them to one representative per device, so there is no
+    overflow and every lane gets the count."""
     k = 17
     rng = np.random.default_rng(3)
     keys = _make_keys(rng, 4000, k)
@@ -96,7 +98,6 @@ def test_skewed_queries_overflow_reported():
     mesh = make_mesh(8, 1)
     tabs = build_sharded(mesh, keys, counts, local_slots=1024)
 
-    # find keys all owned by shard 0
     from jasper_tpu.ops.hashing import hash_words_np
 
     owner = hash_words_np(keys) >> np.uint32(29)
@@ -105,10 +106,46 @@ def test_skewed_queries_overflow_reported():
     N = 8 * bpd
     queries = np.tile(shard0[:1], (N, 1))
     fn = sharded_lookup_fn(mesh, keys.shape[1], bpd)
-    res, ovf = fn(tabs, jnp.asarray(queries), jnp.asarray(np.ones(N, bool)))
-    # capacity = 2*bpd/8 = 64 per bucket; per device 256 queries to one
-    # bucket -> 192 overflow each
-    assert int(ovf) == 8 * (bpd - 64)
-    r = np.asarray(res)
-    assert (r[r != 0] == 1).all()
-    assert (r != 0).sum() == 8 * 64
+    res, ovf, unresolved = fn(
+        tabs, jnp.asarray(queries), jnp.asarray(np.ones(N, bool))
+    )
+    assert int(ovf) == 0
+    assert not bool(jnp.any(unresolved))
+    np.testing.assert_array_equal(np.asarray(res), np.ones(N, np.uint32))
+
+
+def test_distinct_key_skew_retries_to_exact():
+    """More DISTINCT keys to one owner than the bucket capacity: overflow is
+    reported per lane (never silent zeros for resolved lanes), and the retry
+    wrapper converges to exact counts (VERDICT r1 weak #4)."""
+    from jasper_tpu.parallel.sharded_table import sharded_lookup_all_fn
+
+    k = 17
+    rng = np.random.default_rng(3)
+    keys = _make_keys(rng, 4000, k)
+    counts = rng.integers(1, 9, size=len(keys)).astype(np.uint32)
+    mesh = make_mesh(8, 1)
+    tabs = build_sharded(mesh, keys, counts, local_slots=1024)
+
+    from jasper_tpu.ops.hashing import hash_words_np
+
+    owner = hash_words_np(keys) >> np.uint32(29)
+    shard0 = keys[owner == 0]
+    assert len(shard0) > 64  # > cap = 2*bpd/8
+    bpd = 256
+    N = 8 * bpd
+    idx = np.random.default_rng(5).integers(0, len(shard0), size=N)
+    queries = shard0[idx]
+    fn = sharded_lookup_fn(mesh, keys.shape[1], bpd)
+    res, ovf, unresolved = fn(
+        tabs, jnp.asarray(queries), jnp.asarray(np.ones(N, bool))
+    )
+    oracle = {tuple(kk): int(c) for kk, c in zip(keys, counts)}
+    want = np.array([oracle[tuple(q)] for q in queries], np.uint32)
+    if int(ovf) > 0:
+        r, u = np.asarray(res), np.asarray(unresolved)
+        np.testing.assert_array_equal(r[~u], want[~u])  # resolved lanes exact
+        assert (r[u] == 0).all()
+    fn_all = sharded_lookup_all_fn(mesh, keys.shape[1], bpd)
+    res_all = fn_all(tabs, jnp.asarray(queries), jnp.asarray(np.ones(N, bool)))
+    np.testing.assert_array_equal(np.asarray(res_all), want)

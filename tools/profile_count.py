@@ -144,9 +144,18 @@ def main_runs():
     from jasper_tpu.count.sorted_runs import RunAccumulator, chunk_to_run
     from jasper_tpu.table.build import build_table
 
-    print(f"device={jax.devices()[0]} n_bases={N_BASES} chunk={CHUNK}", file=sys.stderr)
+    print(f"device={jax.devices()[0]} n_bases={N_BASES} chunk={CHUNK} "
+          f"coverage={COVERAGE}", file=sys.stderr)
     rng = np.random.default_rng(0)
-    genome = rng.integers(0, 4, size=N_BASES).astype(np.uint8)
+    if COVERAGE > 1:
+        # realistic reads: sample windows of a genome at COVERAGE-fold depth
+        gsize = max(CHUNK, N_BASES // COVERAGE)
+        g = rng.integers(0, 4, size=gsize).astype(np.uint8)
+        g = np.concatenate([g, g[:CHUNK]])  # wraparound sampling
+        starts = rng.integers(0, gsize, size=-(-N_BASES // CHUNK))
+        genome = np.concatenate([g[s : s + CHUNK] for s in starts])[:N_BASES]
+    else:
+        genome = rng.integers(0, 4, size=N_BASES).astype(np.uint8)
     chunks = []
     for off in range(0, N_BASES - K + 1, CHUNK):
         end = min(off + CHUNK + K - 1, N_BASES)
@@ -200,7 +209,13 @@ def main_runs():
     }))
 
 
+COVERAGE = 1
+
 if __name__ == "__main__":
+    if "--coverage" in sys.argv:
+        i = sys.argv.index("--coverage")
+        COVERAGE = int(sys.argv[i + 1])
+        del sys.argv[i : i + 2]
     if "--runs" in sys.argv:
         sys.argv.remove("--runs")
         N_BASES = int(sys.argv[1]) if len(sys.argv) > 1 else 32_000_000
