@@ -149,7 +149,7 @@ def merge_runs(ha, ka, ca, hb, kb, cb):
 
 @functools.partial(jax.jit, static_argnames=("k", "canonical"))
 def chunk_to_run(codes, k: int, canonical: bool = True):
-    """Code chunk -> run of its (deduped) canonical k-mers.
+    """Code chunk -> compacted run of its (deduped) canonical k-mers.
     codes uint8 [L]; returns (h, keys, counts, n_active), length L-k+1."""
     from jasper_tpu.ops.kmer import canonical_windows, forward_windows
 
@@ -157,6 +157,17 @@ def chunk_to_run(codes, k: int, canonical: bool = True):
     keys, valid = extract(jnp, codes, k)
     ones = jnp.ones(keys.shape[0], dtype=jnp.uint32)
     return make_run(keys, ones, valid)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "canonical"))
+def chunk_to_run_fast(codes, k: int, canonical: bool = True):
+    """Counting hot path: code chunk -> UNCOMPACTED run (one 5-op sort,
+    no device->host sync needed). Returns (h, keys, counts)."""
+    from jasper_tpu.ops.kmer import canonical_windows, forward_windows
+
+    extract = canonical_windows if canonical else forward_windows
+    keys, valid = extract(jnp, codes, k)
+    return make_run_ones(keys, valid)
 
 
 def run_from_keys(keys, counts, k: int):
@@ -217,6 +228,18 @@ class RunAccumulator:
     def push(self, h, keys, counts, n_active: int):
         self.total_occurrences += 0  # caller tracks occurrences if needed
         j, run = self._truncate((h, keys, counts), int(n_active))
+        while j in self.levels:
+            oh, ok, oc = self.levels.pop(j)
+            h, keys, counts, n_act = _merge_jit(oh, ok, oc, *run)
+            j, run = self._truncate((h, keys, counts), int(n_act))
+        self.levels[j] = run
+
+    def push_uncompacted(self, h, keys, counts):
+        """Push a run whose dead lanes may be interspersed (the fast chunk
+        path). No device sync: the size class comes from the lane count; the
+        first merge compacts and re-truncates."""
+        j = self._size_class(h.shape[0])
+        run = (h, keys, counts)
         while j in self.levels:
             oh, ok, oc = self.levels.pop(j)
             h, keys, counts, n_act = _merge_jit(oh, ok, oc, *run)

@@ -38,14 +38,32 @@ DIVISOR = 50  # j.py:14
 
 
 class CountSource:
-    """String-keyed count queries with exact MerDNA semantics, memoized."""
+    """String-keyed count queries with exact MerDNA semantics, memoized.
+
+    Uncached queries go through the native kernel (native/jt_table.cc via
+    table.native_table) when it builds; the pure-Python chain
+    (effective_canonical_words + lookup_one) is the fallback and the
+    equivalence oracle (tests/test_native.py)."""
 
     def __init__(self, host_table):
         self.table = host_table
         self.k = host_table.k
-        self._memo: dict[bytes, int] = {}
+        self._memo: dict[str, int] = {}
+        self._native = None
+        try:
+            from jasper_tpu.table.native_table import NativeTableQuery
+
+            self._native = NativeTableQuery(host_table)
+        except Exception:
+            pass
 
     def count(self, s: str) -> int:
+        if self._native is not None:
+            hit = self._memo.get(s)
+            if hit is None:
+                hit = self._native.query_str(s)
+                self._memo[s] = hit
+            return hit
         key = effective_canonical_words(s, self.k)
         kb = key.tobytes()
         hit = self._memo.get(kb)
@@ -53,6 +71,13 @@ class CountSource:
             hit = self.table.lookup_one(key)
             self._memo[kb] = hit
         return hit
+
+    def counts_at(self, s: str, starts) -> "np.ndarray | None":
+        """Batched counts of s[st:st+k] (st >= 0), or None when the native
+        kernel is unavailable (callers fall back to scalar count())."""
+        if self._native is None:
+            return None
+        return self._native.query_substrings(s, starts)
 
 
 @dataclasses.dataclass
@@ -75,6 +100,7 @@ class PolishEngine:
     def __init__(self, counts: CountSource, k: int, solid_threshold: int,
                  divisor: int = DIVISOR):
         self.q = counts.count
+        self.counts = counts
         self.k = k
         self.solid_thre = solid_threshold
         self.divisor = divisor
@@ -343,8 +369,18 @@ class PolishEngine:
     # -- candidate generators -----------------------------------------------
 
     def _validate(self, trial, thre) -> bool:
-        """First, last, then every step-th k-mer >= thre (j.py:585-599)."""
+        """First, last, then every step-th k-mer >= thre (j.py:585-599).
+
+        All strided positions score in ONE native batch call when available
+        (q is pure, so evaluating past the reference's short-circuit point
+        cannot change the answer)."""
         k, q = self.k, self.q
+        starts = [0, max(len(trial) - k, 0)] + list(
+            range(self.step, len(trial) - k, self.step)
+        )
+        c = self.counts.counts_at(trial, starts)
+        if c is not None:
+            return bool(np.all(c >= thre))
         if q(trial[:k]) < thre:
             return False
         if q(trial[-k:]) < thre:
@@ -423,10 +459,15 @@ class PolishEngine:
 
     def _count_bad(self, s, thre) -> int:
         """Full (unstrided) bad-k-mer count, as the homopolymer loops use
-        (j.py:454-457,502-504)."""
+        (j.py:454-457,502-504). One native batch call when available."""
         k, q = self.k, self.q
+        n = len(s) - k + 1
+        if n > 0:
+            c = self.counts.counts_at(s, range(n))
+            if c is not None:
+                return int(np.sum(c < thre))
         bad = 0
-        for i in range(0, len(s) - k + 1):
+        for i in range(0, n):
             if q(s[i : k + i]) < thre:
                 bad += 1
         return bad

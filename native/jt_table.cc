@@ -93,10 +93,19 @@ inline void effective_canonical_key(const char* s, int64_t slen, int k, int W,
   for (int j = 0; j < W; ++j) key[j] = sel[j];
 }
 
+// Home bucket = TOP log2(n_buckets) hash bits (jasper_tpu.ops.hashing
+// home_of with owner_bits=0 — host tables are single-shard).
+inline uint64_t home_of(uint32_t h, uint64_t n_buckets) {
+  if (n_buckets <= 1) return 0;
+  int lb = 0;
+  while ((1ull << lb) < n_buckets) ++lb;
+  return (uint64_t)(h >> (32 - lb));
+}
+
 // Probe one packed key. Layout args as documented above.
 inline uint32_t probe(const uint32_t* tab, uint64_t n_buckets, int pad_buckets,
                       int W, int sw, const uint32_t* key) {
-  uint64_t b = mix32(key, W) & (n_buckets - 1);
+  uint64_t b = home_of(mix32(key, W), n_buckets);
   uint64_t last = n_buckets + (uint64_t)pad_buckets - 1;
   int slots = ROW_U32 / sw;
   for (;;) {
@@ -118,24 +127,43 @@ inline uint32_t probe(const uint32_t* tab, uint64_t n_buckets, int pad_buckets,
 
 }  // namespace
 
+// Entry-point argument validation: fail closed (return 0 / zero-fill)
+// rather than overflowing the key[MAX_W] stack arrays on a bad k/W/sw.
+inline bool args_ok(int k, int W, int sw) {
+  return k > 0 && W > 0 && W <= MAX_W && sw > 0 && sw <= ROW_U32 && W < sw &&
+         (ROW_U32 % sw) == 0 && 2 * (int64_t)k <= 32 * (int64_t)W;
+}
+
 extern "C" {
 
 // Count of the effective canonical k-mer of s[0:slen]. Exact equivalent of
-// CountSource.count's uncached path.
+// CountSource.count's uncached path. The caller materializes the slice, so
+// Python negative-index slice quirks never reach this function.
 uint32_t jt_query_str(const uint32_t* tab, uint64_t n_buckets, int pad_buckets,
                       int k, int W, int sw, const char* s, int64_t slen) {
+  if (!args_ok(k, W, sw) || pad_buckets < 0) return 0;
   uint32_t key[MAX_W];
   effective_canonical_key(s, slen, k, W, key);
   return probe(tab, n_buckets, pad_buckets, W, sw, key);
 }
 
 // Batched substring queries over one string: out[i] = count of the effective
-// canonical k-mer of s[starts[i] : starts[i]+k] (starts clamped to [0, slen]).
-// Serves strided check_sequence / count_bad loops without per-call overhead.
+// canonical k-mer of s[starts[i] : starts[i]+k].
+//
+// Starts are clamped to [0, slen] — NOT Python negative-index slice
+// semantics. Boundary walks whose indices can go negative
+// (polish.engine._repair_region) must keep materializing the slice and call
+// jt_query_str; this batch API serves the strided check_sequence /
+// count_bad loops, whose starts are always >= 0 (reference
+// src/jasper.py:585-612).
 void jt_query_substr_batch(const uint32_t* tab, uint64_t n_buckets,
                            int pad_buckets, int k, int W, int sw,
                            const char* s, int64_t slen, const int64_t* starts,
                            int64_t n, uint32_t* out) {
+  if (!args_ok(k, W, sw) || pad_buckets < 0) {
+    for (int64_t i = 0; i < n; ++i) out[i] = 0;
+    return;
+  }
   for (int64_t i = 0; i < n; ++i) {
     int64_t st = starts[i];
     if (st < 0) st = 0;
@@ -149,6 +177,11 @@ void jt_query_substr_batch(const uint32_t* tab, uint64_t n_buckets,
 // Expose the packed effective canonical key (test hook).
 void jt_effective_key(int k, int W, const char* s, int64_t slen,
                       uint32_t* out) {
+  if (W <= 0 || W > MAX_W) return;
+  if (k <= 0 || 2 * (int64_t)k > 32 * (int64_t)W) {
+    for (int j = 0; j < W; ++j) out[j] = 0;
+    return;
+  }
   effective_canonical_key(s, slen, k, W, out);
 }
 

@@ -144,3 +144,59 @@ def test_truncated_fastq_record_dropped(tmp_path):
     codes = parser.feed(open(p, "rb").read())
     # only the complete record's codes appear
     assert decode(codes) == "ACGTACGT"
+
+
+def test_native_table_query_equivalence():
+    """jt_query_str / jt_query_substr_batch / jt_effective_key must agree
+    with the pure-Python chain (effective_canonical_words + lookup_one) on
+    edge cases: empty, short, N-containing, lowercase, non-ASCII strings."""
+    import numpy as np
+    import pytest
+
+    from jasper_tpu.polish.semantics import effective_canonical_words
+    from jasper_tpu.table.host_table import HostKmerTable
+    from jasper_tpu.table import native_table
+
+    if not native_table.available():
+        pytest.skip("native table library unavailable")
+
+    k = 21
+    rng = np.random.default_rng(17)
+    genome = "".join(np.array(list("ACGT"))[rng.integers(0, 4, 4000)])
+    host = HostKmerTable.empty(k, 1 << 13)
+    from jasper_tpu.ops.codes import encode
+    from jasper_tpu.ops.kmer import canonical_windows
+
+    keys, valid = canonical_windows(np, encode(genome), k)
+    host.insert_np(keys[valid], rng.integers(1, 50, int(valid.sum())).astype(np.uint32))
+
+    nq = native_table.NativeTableQuery(host)
+    cases = [
+        genome[100 : 100 + k],            # exact hit
+        genome[101 : 101 + k].lower(),    # lowercase
+        "T" * k,                          # absent
+        "",                               # empty -> all-A key
+        "ACG",                            # short
+        genome[50 : 50 + 10] + "N" + genome[60 : 60 + 10],  # N run stop
+        "ACGTé" + genome[: k - 5],  # non-ascii char terminates
+        genome[200 : 200 + k - 1],        # k-1 length
+    ]
+    for s in cases:
+        key = effective_canonical_words(s, k)
+        assert nq.query_str(s) == host.lookup_one(key), repr(s)
+        np.testing.assert_array_equal(nq.effective_key(s), key, err_msg=repr(s))
+
+    # batch vs scalar over every window of a mixed string
+    s = genome[:300] + "NN" + genome[300:500].lower() + "x" + genome[500:700]
+    starts = np.arange(len(s) - k + 1, dtype=np.int64)
+    got = nq.query_substrings(s, starts)
+    want = np.array(
+        [host.lookup_one(effective_canonical_words(s[i : i + k], k)) for i in starts],
+        dtype=np.uint32,
+    )
+    np.testing.assert_array_equal(got, want)
+
+    # fail-closed on out-of-range k (W > MAX_W)
+    assert native_table._load().jt_query_str(
+        nq._ptr, nq.n_buckets, nq.pad, 300, 19, 20, b"A" * 300, 300
+    ) == 0

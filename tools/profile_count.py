@@ -141,7 +141,11 @@ def main_runs():
 
     import jax.numpy as jnp
 
-    from jasper_tpu.count.sorted_runs import RunAccumulator, chunk_to_run
+    from jasper_tpu.count.sorted_runs import (
+        RunAccumulator,
+        chunk_to_run,
+        chunk_to_run_fast,
+    )
     from jasper_tpu.table.build import build_table
 
     print(f"device={jax.devices()[0]} n_bases={N_BASES} chunk={CHUNK} "
@@ -164,16 +168,24 @@ def main_runs():
         chunks.append(jnp.asarray(c))
 
     acc = RunAccumulator(unit=max(1 << 14, CHUNK // 8))
+
+    def one(c):
+        if FAST:
+            h, kk, cc = chunk_to_run_fast(c, K)
+            acc.push_uncompacted(h, kk, cc)
+        else:
+            r = chunk_to_run(c, K)
+            acc.push(r[0], r[1], r[2], int(r[3]))
+
     t0 = time.time()
-    r = chunk_to_run(chunks[0], K)
-    acc.push(r[0], r[1], r[2], int(r[3]))
+    one(chunks[0])
     t_compile = time.time() - t0
-    print(f"chunk_to_run compile+first: {t_compile:.1f}s", file=sys.stderr)
+    print(f"chunk_to_run compile+first: {t_compile:.1f}s fast={FAST}",
+          file=sys.stderr)
 
     t0 = time.time()
     for c in chunks[1:]:
-        r = chunk_to_run(c, K)
-        acc.push(r[0], r[1], r[2], int(r[3]))
+        one(c)
     jax.block_until_ready(list(acc.levels.values())[0][0])
     dt_push = time.time() - t0
     per_chunk = dt_push / max(1, len(chunks) - 1)
@@ -210,8 +222,12 @@ def main_runs():
 
 
 COVERAGE = 1
+FAST = False
 
 if __name__ == "__main__":
+    if "--fast" in sys.argv:
+        sys.argv.remove("--fast")
+        FAST = True
     if "--coverage" in sys.argv:
         i = sys.argv.index("--coverage")
         COVERAGE = int(sys.argv[i + 1])
