@@ -34,6 +34,7 @@ import numpy as np
 
 GENOME_BASES = 4_000_000
 TILE = 1 << 20  # windows per device call
+COUNT_CHUNK = 1 << 22  # bases per counting chunk
 ITERS = 8
 K = 37
 DEFAULT_BASELINE_LOOKUPS_PER_SEC = 4.03e6  # measured: see bench_baseline.json
@@ -57,37 +58,43 @@ def main():
 
     import jax.numpy as jnp
 
-    from jasper_tpu.ops.kmer import canonical_windows
+    from jasper_tpu.count.sorted_runs import RunAccumulator, chunk_to_run_fast
     from jasper_tpu.polish.window import scan_window
-    from jasper_tpu.table.kmer_table import empty_table, insert_kmers, slots_for
+    from jasper_tpu.table.build import build_table
 
     rng = np.random.default_rng(0)
     genome = rng.integers(0, 4, size=GENOME_BASES).astype(np.uint8)
-
-    @jax.jit
-    def build_step(tab, chunk):
-        keys, valid = canonical_windows(jnp, chunk, K)
-        tab, pend, placed = insert_kmers(
-            tab, keys, jnp.full(keys.shape[0], 30, jnp.uint32), valid
-        )
-        return tab, pend
 
     @jax.jit
     def scan_step(tab, tile, thre):
         counts, below, rel = scan_window(tab, tile, thre, k=K)
         return counts.sum(dtype=jnp.uint32) ^ below.sum(dtype=jnp.uint32)
 
-    n_slots = slots_for(GENOME_BASES, 0.5)
-    tab = empty_table(K, n_slots)
-    t_build = time.time()
-    step = TILE
-    for off in range(0, GENOME_BASES - K + 1, step):
-        end = min(off + step + K - 1, GENOME_BASES)
-        chunk = np.full(step + K - 1, 4, dtype=np.uint8)
-        chunk[: end - off] = genome[off:end]
-        tab, pend = build_step(tab, jnp.asarray(chunk))
-    assert int(np.asarray(pend)) == 0
-    t_build = time.time() - t_build
+    # --- counting: the scatter-free sorted-run pipeline -----------------
+    def count_genome():
+        acc = RunAccumulator(unit=max(1 << 14, COUNT_CHUNK // 8))
+        for off in range(0, GENOME_BASES - K + 1, COUNT_CHUNK):
+            end = min(off + COUNT_CHUNK + K - 1, GENOME_BASES)
+            chunk = np.full(COUNT_CHUNK + K - 1, 4, dtype=np.uint8)
+            chunk[: end - off] = genome[off:end]
+            h, kk, cc = chunk_to_run_fast(jnp.asarray(chunk), K)
+            acc.push_uncompacted(h, kk, cc)
+        run = acc.finish()
+        return build_table(run, K), int(run[3])
+
+    t0 = time.time()
+    tab, n_distinct = count_genome()
+    jax.block_until_ready(tab)
+    t_compile_build = time.time() - t0
+    # steady state (cached compiles): count again into a fresh accumulator
+    t0 = time.time()
+    tab, n_distinct = count_genome()
+    jax.block_until_ready(tab)
+    t_build = time.time() - t0
+    count_rate = GENOME_BASES / t_build
+    from jasper_tpu.table.kmer_table import table_capacity
+
+    n_slots = table_capacity(tab, K)
 
     # draft with ~0.1% substitutions
     draft = genome.copy()
@@ -121,8 +128,10 @@ def main():
         "device": str(jax.devices()[0]),
         "k": K,
         "n_slots": n_slots,
-        "n_keys": GENOME_BASES - K + 1,
+        "n_keys": n_distinct,
         "build_secs": round(t_build, 2),
+        "build_secs_first_incl_compile": round(t_compile_build, 2),
+        "bases_counted_per_sec": round(count_rate),
         "bench_secs": round(dt, 3),
         "tile_windows": TILE,
         "baseline_lookups_per_sec": baseline,
@@ -135,6 +144,8 @@ def main():
                 "value": round(rate),
                 "unit": "lookups/s",
                 "vs_baseline": round(rate / baseline, 3),
+                "bases_counted_per_sec": round(count_rate),
+                "build_secs": round(t_build, 2),
             }
         )
     )

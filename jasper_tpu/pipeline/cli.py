@@ -32,6 +32,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Debug mode: keep all intermediate output files")
     p.add_argument("-v", "--verbose", action="store_true", help="Verbose")
     p.add_argument("--workdir", default=".", help="Working directory (default: cwd)")
+    p.add_argument("--cpu-workers", action="store_true",
+                   help="Polish batches in -t N host worker processes "
+                        "(reference xargs -P mode) instead of the device "
+                        "scanner; for machines without an accelerator")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="Write a JAX profiler trace of the run to DIR "
                         "(view with TensorBoard / xprof)")
@@ -62,6 +66,7 @@ def main(argv=None) -> int:
                 batch=args.batch,
                 debug=args.debug,
                 workdir=args.workdir,
+                cpu_workers=args.cpu_workers,
             )
     except PipelineError as e:
         import datetime

@@ -318,8 +318,16 @@ def run_pipeline(
     debug: bool = False,
     workdir: str = ".",
     num_devices: int | None = None,
+    cpu_workers: bool = False,
 ) -> dict:
-    """Run the full polishing pipeline; returns paths + QV strings."""
+    """Run the full polishing pipeline; returns paths + QV strings.
+
+    threads: shapes the batch size exactly like the reference (sh:127-139)
+    but does NOT fan out CPU processes — on this architecture the device
+    scanner already parallelizes every batch internally, so batches run
+    sequentially against the chip/mesh. Pass cpu_workers=True for the
+    reference-style xargs -P process fan-out (host-only polishing; useful
+    without a device)."""
     from jasper_tpu.count.histogram import (
         histogram_rows,
         read_histogram,
@@ -430,7 +438,7 @@ def run_pipeline(
         with open(threshold_txt, "w") as f:
             f.write(str(thr))
         log(f"Lower threshold for unreliable kmers is {thr}")
-        if threads > 1 and len(batch_paths) > 1:
+        if cpu_workers and threads > 1 and len(batch_paths) > 1:
             # reference-style process fan-out over batches (src/jasper.sh:212
             # xargs -P); workers share the table zero-copy via a .npy memmap
             # (the analog of the pre-warmed .jf page cache, sh:209-211)
