@@ -27,7 +27,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from jasper_tpu.count.sorted_runs import RunAccumulator, chunk_to_run, run_from_keys
+from jasper_tpu.count.sorted_runs import (
+    RunAccumulator,
+    chunk_to_run,
+    chunk_to_run_fast,
+    run_from_keys,
+)
 from jasper_tpu.io.fastx import stream_codes, total_file_bytes
 from jasper_tpu.ops.kmer import canonical_windows
 from jasper_tpu.table.build import build_table
@@ -152,13 +157,14 @@ def count_reads(
             on_full(_finish_to_table(acc, k))
             acc = RunAccumulator(unit=acc.unit)
         if key_filter is None:
-            h, keys, counts, n_act = chunk_to_run(jnp.asarray(codes), k, canonical)
+            h, keys, counts = chunk_to_run_fast(jnp.asarray(codes), k, canonical)
+            acc.push_uncompacted(h, keys, counts)
         else:
             ukeys, mult = _unique_chunk_keys(codes, k, canonical)
             mult = np.asarray(key_filter(ukeys, mult), dtype=np.uint32)
             keep = mult > 0
             h, keys, counts, n_act = run_from_keys(ukeys[keep], mult[keep], k)
-        acc.push(h, keys, counts, int(n_act))
+            acc.push(h, keys, counts, int(n_act))
         occupied = acc.n_resident_lanes()
         n_chunks += 1
         if progress is not None:

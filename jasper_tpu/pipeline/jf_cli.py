@@ -48,6 +48,19 @@ def cmd_count(argv) -> int:
     p.add_argument("-m", "--mer-len", type=int, required=True)
     p.add_argument("-s", "--size", type=parse_size, required=True,
                    help="Initial hash size (distinct-kmer estimate)")
+    p.add_argument("-c", "--counter-len", type=int, default=7,
+                   help="Accepted for jellyfish CLI parity. In-hash counter "
+                        "field width is a jellyfish memory knob "
+                        "(count_main.cc -c); counts here are exact uint32 "
+                        "regardless, so the flag has no effect")
+    p.add_argument("-p", "--reprobes", type=int, default=126,
+                   help="Accepted for jellyfish CLI parity. Maximum reprobe "
+                        "chain is a jellyfish layout knob; the bucketed "
+                        "table bounds probes by its pad region instead")
+    p.add_argument("-F", "--Files", type=int, default=1,
+                   help="Accepted for jellyfish CLI parity. Input files "
+                        "stream strictly sequentially here, so at most one "
+                        "is ever open (jellyfish stream_manager -F cap)")
     p.add_argument("-t", "--threads", type=int, default=1,
                    help="Accepted for CLI parity; the device batches instead")
     p.add_argument("-C", "--canonical", action="store_true")

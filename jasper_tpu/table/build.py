@@ -55,9 +55,12 @@ def build_from_run(h, keys, counts, n_buckets: int, owner_bits: int = 0):
 
     active = counts > 0
     home = home_of(jnp, h, n_buckets, owner_bits).astype(jnp.int32)
-    i = jnp.arange(B, dtype=jnp.int32)
-    des = jnp.where(active, home * S - i, _INT32_MIN)
-    slot = i + jax.lax.cummax(des)
+    # rank = index among ACTIVE lanes (dead lanes may be interspersed — the
+    # fast uncompacted chunk path — and must not open gaps in the cascade,
+    # or the all-full probe-chain invariant breaks)
+    rank = jnp.cumsum(active.astype(jnp.int32)) - 1
+    des = jnp.where(active, home * S - rank, _INT32_MIN)
+    slot = rank + jax.lax.cummax(des)
     bucket = slot // S
     failed = active & ((bucket - home > PAD_BUCKETS) | (slot >= total_slots))
     ok = active & ~failed

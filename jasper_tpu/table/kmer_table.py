@@ -54,8 +54,10 @@ _DROP = np.uint32(0x7FFFFFFF)  # out-of-range index; scatters use mode="drop"
 def slot_words_for(W: int) -> int:
     if W <= 3:
         return 4
-    assert W <= 7, "k too large (max 112)"
-    return 8
+    if W <= 7:
+        return 8
+    assert W <= 15, "k too large (max 240)"
+    return 16
 
 
 def _layout(tab, keys):

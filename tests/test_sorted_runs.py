@@ -131,3 +131,74 @@ def test_run_from_keys_roundtrip():
     h, k2, c2, n = run_from_keys(keys, counts, K)
     assert _run_to_dict(h, k2, c2) == oracle
     assert int(n) == len(oracle)
+
+
+def test_fast_uncompacted_path_matches_oracle():
+    """chunk_to_run_fast + push_uncompacted (the counting hot path: one
+    sort, interspersed dead lanes, no device sync) must produce the same
+    table contents as the oracle."""
+    from jasper_tpu.count.sorted_runs import chunk_to_run_fast
+
+    rng = np.random.default_rng(23)
+    chunks = [rng.integers(0, 5, size=1 << 11).astype(np.uint8) for _ in range(7)]
+    acc = RunAccumulator(unit=512)
+    for c in chunks:
+        h, keys, counts = chunk_to_run_fast(jnp.asarray(c), K)
+        acc.push_uncompacted(h, keys, counts)
+    h, keys, counts, n_active = acc.finish()
+    all_codes = np.concatenate([np.concatenate([c, [4]]) for c in chunks]).astype(np.uint8)
+    oracle = _oracle_counts(all_codes, K)
+    assert _run_to_dict(h, keys, counts) == oracle
+    assert int(n_active) == len(oracle)
+
+    # and the built table answers exactly
+    tab = build_table((h, keys, counts, int(n_active)), K)
+    qk = np.array(sorted(oracle), dtype=np.uint32)
+    got = np.asarray(lookup_kmers(tab, jnp.asarray(qk), jnp.ones(len(qk), bool)))
+    want = np.array([oracle[tuple(x)] for x in qk], np.uint32)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_large_k_table_roundtrip():
+    """k > 112 (sw=16 slot layout, VERDICT r1 minor gap): counts exact."""
+    from jasper_tpu.count.sorted_runs import chunk_to_run
+
+    k = 127
+    rng = np.random.default_rng(3)
+    codes = rng.integers(0, 4, size=4096).astype(np.uint8)
+    run = chunk_to_run(jnp.asarray(codes), k)
+    tab = build_table((run[0], run[1], run[2], int(run[3])), k)
+    oracle = _oracle_counts(codes, k)
+    keys, valid = canonical_windows(np, codes, k)
+    got = np.asarray(lookup_kmers(tab, jnp.asarray(keys), jnp.asarray(valid)))
+    for i in range(len(keys)):
+        if valid[i]:
+            assert got[i] == oracle[tuple(keys[i])]
+
+
+def test_single_uncompacted_run_builds_gap_free():
+    """Regression: one uncompacted chunk run (dead duplicate lanes
+    interspersed) built at HIGH load must not open empty-slot gaps inside
+    probe cascades (all lookups exact, including deep-cascade keys)."""
+    from jasper_tpu.count.sorted_runs import chunk_to_run_fast
+
+    rng = np.random.default_rng(31)
+    # heavy duplication: small alphabet region repeated
+    base = rng.integers(0, 4, size=512).astype(np.uint8)
+    codes = np.concatenate([base] * 8 + [rng.integers(0, 4, size=2048).astype(np.uint8)])
+    h, keys, counts = chunk_to_run_fast(jnp.asarray(codes), K)
+    n_active = int(jnp.sum(counts > 0))
+    # force long cascades: tiny bucket count (high load)
+    sw = slot_words_for(words_per_kmer(K))
+    S = ROW_U32 // sw
+    n_buckets = max(1, (n_active // S) // 4)
+    n_buckets = 1 << max(0, (n_buckets - 1).bit_length())
+    tab, n_failed = build_from_run(h, keys, counts, n_buckets=n_buckets)
+    while int(n_failed) > 0:
+        n_buckets *= 2
+        tab, n_failed = build_from_run(h, keys, counts, n_buckets=n_buckets)
+    oracle = _oracle_counts(codes, K)
+    qk = np.array(sorted(oracle), dtype=np.uint32)
+    got = np.asarray(lookup_kmers(tab, jnp.asarray(qk), jnp.ones(len(qk), bool)))
+    want = np.array([oracle[tuple(x)] for x in qk], np.uint32)
+    np.testing.assert_array_equal(got, want)
