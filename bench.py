@@ -58,7 +58,7 @@ def main():
 
     import jax.numpy as jnp
 
-    from jasper_tpu.count.sorted_runs import RunAccumulator, chunk_to_run_fast
+    from jasper_tpu.count.sorted_runs import RunAccumulator, extract_windows
     from jasper_tpu.polish.window import scan_window
     from jasper_tpu.table.build import build_table
 
@@ -72,13 +72,14 @@ def main():
 
     # --- counting: the scatter-free sorted-run pipeline -----------------
     def count_genome():
-        acc = RunAccumulator(unit=max(1 << 14, COUNT_CHUNK // 8))
+        acc = RunAccumulator(unit=max(1 << 14, COUNT_CHUNK // 8),
+                             stage_lanes=4 * COUNT_CHUNK)
         for off in range(0, GENOME_BASES - K + 1, COUNT_CHUNK):
             end = min(off + COUNT_CHUNK + K - 1, GENOME_BASES)
             chunk = np.full(COUNT_CHUNK + K - 1, 4, dtype=np.uint8)
             chunk[: end - off] = genome[off:end]
-            h, kk, cc = chunk_to_run_fast(jnp.asarray(chunk), K)
-            acc.push_uncompacted(h, kk, cc)
+            keys, valid = extract_windows(jnp.asarray(chunk), K)
+            acc.push_raw(keys, valid)
         run = acc.finish()
         return build_table(run, K), int(run[3])
 

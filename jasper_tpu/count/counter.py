@@ -29,8 +29,7 @@ import numpy as np
 
 from jasper_tpu.count.sorted_runs import (
     RunAccumulator,
-    chunk_to_run,
-    chunk_to_run_fast,
+    extract_windows,
     run_from_keys,
 )
 from jasper_tpu.io.fastx import stream_codes, total_file_bytes
@@ -149,7 +148,9 @@ def count_reads(
         if hash_size_hint is None:
             hash_size_hint = max(1024, total_file_bytes(paths) // 10)
         n_slots = slots_for(max(hash_size_hint, chunk_len), GROW_LOAD_LIMIT)
-    acc = RunAccumulator(unit=max(1 << 14, (chunk_len - k + 1) // 8))
+    n_windows = chunk_len - k + 1
+    acc = RunAccumulator(unit=max(1 << 14, n_windows // 8),
+                         stage_lanes=4 * n_windows)
     occupied = 0
     n_chunks = 0
     for codes, _fill in stream_codes(paths, k, chunk_len, min_qual_char):
@@ -157,8 +158,8 @@ def count_reads(
             on_full(_finish_to_table(acc, k))
             acc = RunAccumulator(unit=acc.unit)
         if key_filter is None:
-            h, keys, counts = chunk_to_run_fast(jnp.asarray(codes), k, canonical)
-            acc.push_uncompacted(h, keys, counts)
+            keys, valid = extract_windows(jnp.asarray(codes), k, canonical)
+            acc.push_raw(keys, valid)
         else:
             ukeys, mult = _unique_chunk_keys(codes, k, canonical)
             mult = np.asarray(key_filter(ukeys, mult), dtype=np.uint32)
@@ -190,5 +191,7 @@ def count_sequences(seqs: Iterable[str], k: int, n_slots: int = 1 << 16):
     codes = np.concatenate(parts) if parts else np.zeros(0, dtype=np.uint8)
     if len(codes) < k:
         return empty_table(k, n_slots)
+    from jasper_tpu.count.sorted_runs import chunk_to_run
+
     run = chunk_to_run(jnp.asarray(codes), k)
     return build_table((run[0], run[1], run[2], int(run[3])), k)

@@ -116,14 +116,17 @@ def make_run_ones(keys, valid):
 
 
 def _compact(h, keys, counts):
-    """Stable-sort lanes so actives (counts>0) come first; preserves the
-    (h, key) order of actives. Returns (h, keys, counts, n_active)."""
+    """Sort lanes so actives (counts>0) come first in (h, key) order.
+    Actives have distinct (h, key), so a non-stable full-key sort gives the
+    same order as a stable dead-flag partition — and avoids lax.sort's
+    is_stable path. Returns (h, keys, counts, n_active)."""
     B, W = keys.shape
     dead = (counts == 0).astype(jnp.uint32)
-    ops = (dead, h) + tuple(keys[:, j] for j in range(W)) + (counts,)
-    s = jax.lax.sort(ops, num_keys=1, is_stable=True)
+    ops = (dead, h) + tuple(keys[:, W - 1 - j] for j in range(W)) + (counts,)
+    s = jax.lax.sort(ops, num_keys=2 + W)
     n_active = jnp.sum((s[W + 2] > 0).astype(jnp.uint32))
-    return s[1], jnp.stack([s[2 + j] for j in range(W)], axis=-1), s[W + 2], n_active
+    skeys = jnp.stack([s[2 + W - 1 - j] for j in range(W)], axis=-1)
+    return s[1], skeys, s[W + 2], n_active
 
 
 def merge_runs(ha, ka, ca, hb, kb, cb):
@@ -196,22 +199,70 @@ def _keys_to_run_jit(keys, counts):
 
 
 _merge_jit = jax.jit(merge_runs)
+_make_run_ones_jit = jax.jit(make_run_ones)
+_make_run_jit = jax.jit(make_run)
+
+
+@jax.jit
+def _flush_stage_jit(key_parts, valid_parts):
+    keys = jnp.concatenate(list(key_parts), axis=0)
+    valid = jnp.concatenate(list(valid_parts))
+    ones = jnp.ones(keys.shape[0], dtype=jnp.uint32)
+    return make_run(keys, ones, valid)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "canonical"))
+def extract_windows(codes, k: int, canonical: bool = True):
+    """Code chunk -> (keys [L-k+1, W], valid [L-k+1]) on device (the
+    staging feed for RunAccumulator.push_raw)."""
+    from jasper_tpu.ops.kmer import canonical_windows, forward_windows
+
+    extract = canonical_windows if canonical else forward_windows
+    return extract(jnp, codes, k)
 
 
 class RunAccumulator:
     """LSM-style accumulator of sorted runs on device.
 
-    push() chunks; runs merge when two land in the same size class
+    The hot entry is push_raw(keys, valid): raw window keys accumulate in a
+    staging list and collapse with ONE make_run_ones sort per
+    ``stage_lanes`` lanes — so in steady state each window key passes
+    through ~1 big sort plus LSM merges over the DEDUPED stream (at real
+    read coverage, coverage-fold smaller). push()/push_uncompacted() accept
+    pre-made runs; runs merge when two land in the same size class
     (size class = smallest power-of-2 lane count that holds the run's
-    actives, floored at the chunk size). finish() merges everything into one
-    run. Device memory stays O(total distinct keys), not O(total windows):
-    merged runs are truncated to the active prefix's size class.
+    actives, floored at ``unit``). finish() merges everything into one run.
+    Device memory stays O(total distinct keys + stage_lanes).
     """
 
-    def __init__(self, unit: int):
+    def __init__(self, unit: int, stage_lanes: int | None = None):
         self.unit = max(1, unit)
         self.levels: dict[int, tuple] = {}  # size-class exponent -> run
         self.total_occurrences = 0
+        self.stage_lanes = stage_lanes if stage_lanes else 4 * self.unit
+        self._stage: list[tuple] = []  # (keys [B, W], valid [B]) pairs
+        self._staged = 0
+
+    def push_raw(self, keys, valid):
+        """Stage raw (possibly duplicate-heavy) window keys; flushes with a
+        single sort when the staging budget fills."""
+        self._stage.append((keys, valid))
+        self._staged += keys.shape[0]
+        if self._staged >= self.stage_lanes:
+            self.flush_stage()
+
+    def flush_stage(self):
+        if not self._stage:
+            return
+        stage, self._stage, self._staged = self._stage, [], 0
+        # ONE jit for concat + compacted make_run: eager concatenate between
+        # jit calls is catastrophically slow on remote-tunnel backends, and
+        # the compacted output (one extra sort per stage) keeps merged LSM
+        # levels at distinct-key size — coverage-fold smaller downstream
+        h, kk, cc, n_act = _flush_stage_jit(
+            tuple(k for k, _ in stage), tuple(v for _, v in stage)
+        )
+        self.push(h, kk, cc, int(n_act))
 
     def _size_class(self, n_active: int) -> int:
         j = 0
@@ -247,11 +298,12 @@ class RunAccumulator:
         self.levels[j] = run
 
     def n_resident_lanes(self) -> int:
-        return sum(r[0].shape[0] for r in self.levels.values())
+        return sum(r[0].shape[0] for r in self.levels.values()) + self._staged
 
     def finish(self):
         """Merge all levels; returns (h, keys, counts, n_active) or None if
         nothing was pushed."""
+        self.flush_stage()
         runs = [self.levels.pop(j) for j in sorted(self.levels)]
         if not runs:
             return None

@@ -150,7 +150,10 @@ def select_scanner(host_table, k: int, num_devices: int | None = None,
     env_tile = os.environ.get("JASPER_TPU_SCAN_TILE")
     if env_tile:
         tile = int(env_tile)
-    devices = list(devices if devices is not None else jax.devices())
+    # local devices: under multi-host (parallel.distributed) each host scans
+    # its own batch shard on its own chips with the table replicated per
+    # host — the analog of the reference's per-node shared page cache
+    devices = list(devices if devices is not None else jax.local_devices())
     if num_devices is None:
         num_devices = len(devices)
     num_devices = max(1, min(num_devices, len(devices)))

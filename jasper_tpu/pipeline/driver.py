@@ -258,7 +258,11 @@ def read_qv_helper(path: str) -> tuple[int, int]:
 def _polish_batches_mp(batch_paths, host_table, k, thr, passes, threads, workdir):
     """Polish batches in parallel worker processes (reference P5:
     `xargs -P $NUM_THREADS ./run_jasper.sh`, src/jasper.sh:206-215), each
-    running the jasper.py-parity CLI against a memmapped shared table."""
+    running the jasper.py-parity CLI against a memmapped shared table.
+
+    SIGINT/SIGTERM/SIGHUP kill all live workers before re-raising — the
+    reference's `trap abort 1 2 15` -> `kill -9 0` (src/jasper.sh:23-28)."""
+    import signal
     import subprocess
     import sys
 
@@ -271,6 +275,22 @@ def _polish_batches_mp(batch_paths, host_table, k, thr, passes, threads, workdir
     last_it = passes - 1
     queue = list(batch_paths)
     running: list[tuple[subprocess.Popen, str]] = []
+
+    def _abort(signum, frame):
+        for p2, _ in running:
+            try:
+                p2.kill()
+            except Exception:
+                pass
+        signal.signal(signum, signal.SIG_DFL)
+        os.kill(os.getpid(), signum)
+
+    old_handlers = {}
+    for sig in (signal.SIGINT, signal.SIGTERM, signal.SIGHUP):
+        try:
+            old_handlers[sig] = signal.signal(sig, _abort)
+        except (ValueError, OSError):
+            pass  # non-main thread / unsupported
 
     def reap(block):
         for i, (proc, bp) in enumerate(list(running)):
@@ -291,19 +311,26 @@ def _polish_batches_mp(batch_paths, host_table, k, thr, passes, threads, workdir
                 )
                 return
 
-    while queue or running:
-        while queue and len(running) < threads:
-            bp = queue.pop(0)
-            bn = os.path.basename(bp)
-            proc = subprocess.Popen(
-                [sys.executable, "-m", "jasper_tpu.polish.runner",
-                 "--table-npy", npy, "--ksize", str(k), "-q", bp,
-                 "-p", str(passes), "--fix", "--fout", f"{bn}.fix.csv",
-                 "-ff", f"{bn}.fixed.fa.tmp", "--test", "-thre", str(thr)],
-                cwd=workdir, env=env,
-            )
-            running.append((proc, bp))
-        reap(block=True)
+    try:
+        while queue or running:
+            while queue and len(running) < threads:
+                bp = queue.pop(0)
+                bn = os.path.basename(bp)
+                proc = subprocess.Popen(
+                    [sys.executable, "-m", "jasper_tpu.polish.runner",
+                     "--table-npy", npy, "--ksize", str(k), "-q", bp,
+                     "-p", str(passes), "--fix", "--fout", f"{bn}.fix.csv",
+                     "-ff", f"{bn}.fixed.fa.tmp", "--test", "-thre", str(thr)],
+                    cwd=workdir, env=env,
+                )
+                running.append((proc, bp))
+            reap(block=True)
+    finally:
+        for sig, h in old_handlers.items():
+            try:
+                signal.signal(sig, h)
+            except (ValueError, OSError):
+                pass
     _rm(npy)
 
 
@@ -340,9 +367,15 @@ def run_pipeline(
     from jasper_tpu.polish.runner import polish_file
     from jasper_tpu.table import HostKmerTable
 
+    from jasper_tpu.parallel.distributed import (
+        barrier,
+        maybe_init_distributed,
+        my_shard,
+    )
     from jasper_tpu.utils.jaxenv import setup_compilation_cache
 
     setup_compilation_cache()
+    proc_id, proc_count = maybe_init_distributed()
     workdir = os.path.abspath(workdir)
     os.makedirs(workdir, exist_ok=True)
     if not os.path.exists(assembly) or os.path.getsize(assembly) == 0:
@@ -356,8 +389,8 @@ def run_pipeline(
     batch_size = compute_batch_size(assembly, threads, batch)
     log(f"Using BATCH SIZE {batch_size}")
 
-    # split
-    if not os.path.exists(_marker(workdir, "split")):
+    # split (multi-host: process 0 writes the batch files)
+    if proc_id == 0 and not os.path.exists(_marker(workdir, "split")):
         log("Splitting query into batches for parallel execution")
         for old in os.listdir(workdir):
             if re.match(re.escape(query_fn) + r"\.batch\..*\.fa$", old):
@@ -365,6 +398,7 @@ def run_pipeline(
         split_batches(assembly, batch_size, workdir, query_fn)
         _rm(_marker(workdir, "correct"))
         _touch(_marker(workdir, "split"))
+    barrier("split")
     batch_paths = sorted(
         (
             os.path.join(workdir, p)
@@ -391,7 +425,9 @@ def run_pipeline(
                     "pair of quotation marks."
                 )
         jf_db = os.path.join(workdir, f"mer_counts{k}.jf")
-        if os.path.exists(jf_db) and os.path.getsize(jf_db) > 0:
+        if proc_id != 0:
+            barrier("db")  # process 0 counts; shared FS serves the .jf
+        elif os.path.exists(jf_db) and os.path.getsize(jf_db) > 0:
             log(f"Using existing jellyfish database {jf_db}")
             _rm(_marker(workdir, "no_cat"))
         else:
@@ -406,6 +442,8 @@ def run_pipeline(
             del tab
             _touch(_marker(workdir, "no_cat"))
             _touch(_marker(workdir, "histo"))
+        if proc_id == 0:
+            barrier("db")
 
     if host_table is None:
         log(f"Loading k-mer database {jf_db}")
@@ -415,15 +453,17 @@ def run_pipeline(
                 f"Database {jf_db} has k={host_table.k}, but -k {k} was requested"
             )
 
-    # histogram
-    if not os.path.exists(_marker(workdir, "histo")) or not (
-        os.path.exists(histo_csv) and os.path.getsize(histo_csv) > 0
+    # histogram (multi-host: process 0 writes, shared FS serves the rest)
+    if proc_id == 0 and (
+        not os.path.exists(_marker(workdir, "histo"))
+        or not (os.path.exists(histo_csv) and os.path.getsize(histo_csv) > 0)
     ):
         log("Computing K-mer histogram")
         rows = _host_histogram(host_table)
         write_histogram(histo_csv, rows)
         _rm(_marker(workdir, "correct"))
         _touch(_marker(workdir, "histo"))
+    barrier("histo")
 
     # polish
     threshold_txt = os.path.join(workdir, "threshold.txt")
@@ -460,7 +500,7 @@ def run_pipeline(
             def engine_cls(c, kk, t):
                 return DevicePolishEngine(c, kk, t, scanner=scanner)
 
-            for bp in batch_paths:
+            for bp in my_shard(batch_paths, proc_id, proc_count):
                 bn = os.path.basename(bp)
                 polish_file(
                     bp, counts, k, thr, passes,
@@ -472,9 +512,19 @@ def run_pipeline(
                     os.path.join(workdir, f"_iter{last_it}_{bn}.fixed.fa.tmp"),
                     os.path.join(workdir, f"_iter{last_it}_{bn}.fixed.fa"),
                 )
+        barrier("correct")  # all hosts' batches done before the join
         _rm(_marker(workdir, "join"))
         _touch(_marker(workdir, "correct"))
 
+    # join (multi-host: shared-FS outputs joined by process 0 only)
+    if proc_count > 1 and proc_id != 0:
+        barrier("join")
+        return {
+            "polished": os.path.join(workdir, f"{query_fn}.polished.fasta"),
+            "fixes": os.path.join(workdir, f"{query_fn}.fixes.csv"),
+            "q_before": "", "q_after": "", "db": jf_db,
+            "batch_size": batch_size,
+        }
     # join
     polished = os.path.join(workdir, f"{query_fn}.polished.fasta")
     fixes_csv = os.path.join(workdir, f"{query_fn}.fixes.csv")
@@ -505,6 +555,8 @@ def run_pipeline(
                     r"_iter\d+_" + re.escape(query_fn) + r"\.batch\.\d+\.fa\.fix\.csv$", p
                 ) or re.match(re.escape(query_fn) + r"\.batch\.\d+\.fa$", p):
                     _rm(os.path.join(workdir, p))
+    if proc_count > 1:
+        barrier("join")  # release the non-joining hosts
 
     # QV
     err_b, tot_b = read_qv_helper(os.path.join(workdir, "0qValCalcHelper.csv"))

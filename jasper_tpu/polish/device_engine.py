@@ -58,10 +58,13 @@ class DeviceScanner:
         if mesh is None:
             import jax
 
-            if len(jax.devices()) > 1:
+            # local devices only: under multi-host each process scans its
+            # own batches (a global default mesh would create arrays this
+            # process cannot read back)
+            if len(jax.local_devices()) > 1:
                 from jax.sharding import Mesh
 
-                mesh = Mesh(np.array(jax.devices()), ("data",))
+                mesh = Mesh(np.array(jax.local_devices()), ("data",))
         self.mesh = mesh
 
     def prepare(self, seq: str, solid_thre: int) -> ContigScan:

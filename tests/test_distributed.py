@@ -1,0 +1,92 @@
+"""Multi-host pipeline: two real processes under jax.distributed on the CPU
+backend, round-robin batch sharding, process-0 join — outputs must byte-
+match the single-process run (SURVEY §5 distributed backend)."""
+
+import gzip
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from tests import golden_util as G
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    p = s.getsockname()[1]
+    s.close()
+    return p
+
+
+_WORKER = r"""
+import os, sys
+sys.path.insert(0, os.environ["JASPER_TPU_ROOT"])
+import jax
+jax.config.update("jax_platforms", "cpu")
+from jasper_tpu.pipeline.driver import run_pipeline
+run_pipeline(
+    assembly=os.environ["ASM"], reads=[os.environ["READS"]],
+    k=25, threads=1, passes=1, batch=4000, workdir=os.environ["WD"],
+)
+"""
+
+
+def test_two_process_pipeline_matches_single(tmp_path):
+    rng = np.random.default_rng(21)
+    genome = G.random_genome(rng, 12000)
+    reads = G.tiled_reads(genome, read_len=120, stride=3)
+    draft, _ = G.inject_errors(genome, rng, n_each=1, spacing=900)
+    asm = tmp_path / "asm.fa"
+    G.write_fasta_file(asm, {"chrA": draft, "chrB": genome[2000:5000]})
+    rf = tmp_path / "reads.fq.gz"
+    with gzip.open(rf, "wt") as f:
+        for i, r in enumerate(reads):
+            f.write(f"@r{i}\n{r}\n+\n{'I' * len(r)}\n")
+
+    # single-process reference run
+    from jasper_tpu.pipeline.driver import run_pipeline
+
+    wd1 = tmp_path / "single"
+    wd1.mkdir()
+    run_pipeline(assembly=str(asm), reads=[str(rf)], k=25, threads=1,
+                 passes=1, batch=4000, workdir=str(wd1))
+
+    # two-process distributed run (shared workdir)
+    wd2 = tmp_path / "multi"
+    wd2.mkdir()
+    port = _free_port()
+    procs = []
+    for pid in (0, 1):
+        env = dict(os.environ)
+        env.update(
+            JASPER_TPU_ROOT=str(G.REPO),
+            JASPER_TPU_COORDINATOR=f"127.0.0.1:{port}",
+            JASPER_TPU_NUM_PROCESSES="2",
+            JASPER_TPU_PROCESS_ID=str(pid),
+            ASM=str(asm), READS=str(rf), WD=str(wd2),
+            JAX_PLATFORMS="cpu",
+        )
+        env.pop("XLA_FLAGS", None)
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", _WORKER], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        ))
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for p2 in procs:
+                p2.kill()
+            pytest.fail("distributed pipeline hung")
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-3000:]
+
+    for name in ("asm.fa.polished.fasta", "asm.fa.fixes.csv"):
+        with open(wd1 / name, "rb") as f1, open(wd2 / name, "rb") as f2:
+            assert f1.read() == f2.read(), name

@@ -202,3 +202,22 @@ def test_single_uncompacted_run_builds_gap_free():
     got = np.asarray(lookup_kmers(tab, jnp.asarray(qk), jnp.ones(len(qk), bool)))
     want = np.array([oracle[tuple(x)] for x in qk], np.uint32)
     np.testing.assert_array_equal(got, want)
+
+
+def test_push_raw_staging_matches_oracle():
+    """push_raw staging (the production count_reads path: raw window keys
+    batched into one compacted sort per stage) must equal the oracle,
+    including a partial final stage flushed by finish()."""
+    from jasper_tpu.count.sorted_runs import extract_windows
+
+    rng = np.random.default_rng(29)
+    chunks = [rng.integers(0, 5, size=1 << 11).astype(np.uint8) for _ in range(7)]
+    acc = RunAccumulator(unit=512, stage_lanes=3 * (1 << 11))
+    for c in chunks:
+        keys, valid = extract_windows(jnp.asarray(c), K)
+        acc.push_raw(keys, valid)
+    h, keys, counts, n_active = acc.finish()
+    all_codes = np.concatenate([np.concatenate([c, [4]]) for c in chunks]).astype(np.uint8)
+    oracle = _oracle_counts(all_codes, K)
+    assert _run_to_dict(h, keys, counts) == oracle
+    assert int(n_active) == len(oracle)

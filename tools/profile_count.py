@@ -145,6 +145,7 @@ def main_runs():
         RunAccumulator,
         chunk_to_run,
         chunk_to_run_fast,
+        extract_windows,
     )
     from jasper_tpu.table.build import build_table
 
@@ -167,28 +168,38 @@ def main_runs():
         c[: end - off] = genome[off:end]
         chunks.append(jnp.asarray(c))
 
-    acc = RunAccumulator(unit=max(1 << 14, CHUNK // 8))
-
-    def one(c):
-        if FAST:
+    def one(acc, c):
+        if MODE == "stage":
+            keys, valid = extract_windows(c, K)
+            acc.push_raw(keys, valid)
+        elif MODE == "fast":
             h, kk, cc = chunk_to_run_fast(c, K)
             acc.push_uncompacted(h, kk, cc)
         else:
             r = chunk_to_run(c, K)
             acc.push(r[0], r[1], r[2], int(r[3]))
 
+    def full_pass(acc):
+        for c in chunks:
+            one(acc, c)
+        acc.flush_stage()
+        jax.block_until_ready(list(acc.levels.values())[0][0])
+
+    # warm pass: compiles every shape in the cascade
     t0 = time.time()
-    one(chunks[0])
+    acc = RunAccumulator(unit=max(1 << 14, CHUNK // 8), stage_lanes=4 * CHUNK)
+    full_pass(acc)
     t_compile = time.time() - t0
-    print(f"chunk_to_run compile+first: {t_compile:.1f}s fast={FAST}",
+    del acc
+    print(f"warm pass (incl. compiles): {t_compile:.1f}s mode={MODE}",
           file=sys.stderr)
 
+    # timed pass: warm cache
+    acc = RunAccumulator(unit=max(1 << 14, CHUNK // 8), stage_lanes=4 * CHUNK)
     t0 = time.time()
-    for c in chunks[1:]:
-        one(c)
-    jax.block_until_ready(list(acc.levels.values())[0][0])
+    full_pass(acc)
     dt_push = time.time() - t0
-    per_chunk = dt_push / max(1, len(chunks) - 1)
+    per_chunk = dt_push / max(1, len(chunks))
     print(f"push steady: {per_chunk*1000:.1f} ms/chunk "
           f"({CHUNK/per_chunk/1e6:.1f} Mbases/s) "
           f"resident={acc.n_resident_lanes()}", file=sys.stderr)
@@ -222,12 +233,15 @@ def main_runs():
 
 
 COVERAGE = 1
-FAST = False
+MODE = "compact"
 
 if __name__ == "__main__":
     if "--fast" in sys.argv:
         sys.argv.remove("--fast")
-        FAST = True
+        MODE = "fast"
+    if "--stage" in sys.argv:
+        sys.argv.remove("--stage")
+        MODE = "stage"
     if "--coverage" in sys.argv:
         i = sys.argv.index("--coverage")
         COVERAGE = int(sys.argv[i + 1])
