@@ -20,10 +20,8 @@ threshold and the final table's size estimate.
 
 from __future__ import annotations
 
-import functools
 from typing import Iterable
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -35,67 +33,9 @@ from jasper_tpu.count.sorted_runs import (
 from jasper_tpu.io.fastx import stream_codes, total_file_bytes
 from jasper_tpu.ops.kmer import canonical_windows
 from jasper_tpu.table.build import build_table
-from jasper_tpu.table.kmer_table import empty_table, insert_kmers, slots_for
+from jasper_tpu.table.kmer_table import empty_table, slots_for
 
-GROW_LOAD_LIMIT = 0.8  # grow when occupancy + chunk windows would exceed this
-
-
-@functools.partial(jax.jit, static_argnames=("k", "canonical"), donate_argnums=0)
-def count_chunk(tab, codes, k: int, canonical: bool = True):
-    """Count every valid k-mer of one code chunk into tab.
-
-    codes: uint8 [chunk_len]; invalid windows (containing code >= 4, i.e. N
-    separators / padding) are skipped, matching the reference mer_iterator's
-    reset-on-invalid behavior (jellyfish mer_iterator.hpp:53-81).
-    canonical=False counts forward-strand mers (jellyfish without -C).
-    Returns (tab, n_pending, n_placed).
-    """
-    from jasper_tpu.ops.kmer import forward_windows
-
-    extract = canonical_windows if canonical else forward_windows
-    keys, valid = extract(jnp, codes, k)
-    ones = jnp.ones(keys.shape[0], dtype=jnp.uint32)
-    return insert_kmers(tab, keys, ones, valid)
-
-
-@functools.partial(jax.jit, donate_argnums=0)
-def _reinsert(tab, keys, counts, active):
-    return insert_kmers(tab, keys, counts, active)
-
-
-def grow_table(tab, k: int, min_capacity: int):
-    """Rebuild the table with >= min_capacity keys of guaranteed room."""
-    from jasper_tpu.ops.kmer import words_per_kmer
-    from jasper_tpu.table.kmer_table import slot_words_for, table_capacity
-
-    arr = np.asarray(tab)
-    W = words_per_kmer(k)
-    sw = slot_words_for(W)
-    flat = arr.reshape(-1, sw)
-    occ = flat[:, sw - 1] != 0
-    keys = flat[occ][:, :W]
-    counts = flat[occ][:, sw - 1]
-    old_capacity = table_capacity(tab, k)
-    new_slots = slots_for(min_capacity, GROW_LOAD_LIMIT)
-    while new_slots <= old_capacity:
-        new_slots *= 2
-    new_tab = empty_table(k, new_slots)
-    B = 1 << 21
-    for off in range(0, len(keys), B):
-        kk = keys[off : off + B]
-        pad = B - len(kk)
-        if pad:
-            kk = np.pad(kk, ((0, pad), (0, 0)))
-        cc = counts[off : off + B]
-        if pad:
-            cc = np.pad(cc, (0, pad))
-        act = np.zeros(B, dtype=bool)
-        act[: B - pad] = True
-        new_tab, n_pending, _ = _reinsert(
-            new_tab, jnp.asarray(kk), jnp.asarray(cc), jnp.asarray(act)
-        )
-        assert int(n_pending) == 0  # by construction: sized for all keys
-    return new_tab, new_slots
+GROW_LOAD_LIMIT = 0.8  # sizing headroom for the --disk dump threshold
 
 
 def _unique_chunk_keys(codes: np.ndarray, k: int, canonical: bool):

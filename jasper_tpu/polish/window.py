@@ -49,7 +49,7 @@ def scan_window(tab, codes, solid_threshold, k: int, divisor: int = 50):
     return counts, below, reldrop
 
 
-def _dp_scan_fn(mesh, k: int, tile: int, divisor: int):
+def _dp_scan_fn(mesh, k: int, divisor: int):
     """Data-parallel scan over the mesh's devices: per-device tiles of a
     contig (k-1 halo handled by the host splitter), table replicated. The
     production multi-chip path when the DB fits one chip's HBM (table
@@ -99,7 +99,7 @@ def scan_window_tiled(tab, codes, solid_threshold, k: int, tile: int = 1 << 20,
         key = (id(mesh), k, tile, divisor)
         scan = _DP_SCAN_CACHE.get(key)
         if scan is None:
-            scan = _DP_SCAN_CACHE[key] = _dp_scan_fn(mesh, k, tile, divisor)
+            scan = _DP_SCAN_CACHE[key] = _dp_scan_fn(mesh, k, divisor)
         while pos < n:
             m = min(D * tile, n - pos)
             chunks = np.full((D, tile + k - 1), 255, dtype=np.uint8)
