@@ -108,6 +108,11 @@ def iter_reads(path: str, min_qual_char: str | None = None) -> Iterator[str]:
         with _open_text(path) as f:
             yield from _iter_sam(f, min_qual_char)
         return
+    if isinstance(path, str) and path.endswith(".bam"):
+        from jasper_tpu.io.bam import iter_bam_reads
+
+        yield from iter_bam_reads(path, min_qual_char)
+        return
     with _open_text(path) as f:
         first = f.read(1)
         if not first:
@@ -164,7 +169,8 @@ def stream_codes(
     assert chunk_len > 2 * k
     paths = list(paths)
     any_sam = any(
-        isinstance(p, str) and p.endswith((".sam", ".sam.gz")) for p in paths
+        isinstance(p, str) and p.endswith((".sam", ".sam.gz", ".bam"))
+        for p in paths
     )
     any_stream = any(not isinstance(p, str) for p in paths)
     if (use_native is None or use_native) and not any_sam and not any_stream:

@@ -79,3 +79,68 @@ def test_generator_gzip_stream(tmp_path):
     plain = tmp_path / "p.fa"
     plain.write_text(">x\nACGTACGTACGTACGT\n")
     assert kmers_of(mgr.streams(), K) == kmers_of([str(plain)], K)
+
+
+def _write_bam(path, reads, quals=None):
+    """Minimal spec-conforming BAM writer (BGZF = gzip members)."""
+    import gzip
+    import struct
+
+    SEQ16 = "=ACMGRSVTWYHKDBN"
+    code = {c: i for i, c in enumerate(SEQ16)}
+    body = bytearray()
+    body += b"BAM\x01"
+    text = b"@HD\tVN:1.6\n"
+    body += struct.pack("<i", len(text)) + text
+    body += struct.pack("<i", 1)  # one reference
+    name = b"chr1\x00"
+    body += struct.pack("<i", len(name)) + name + struct.pack("<i", 1000)
+    for ri, seq in enumerate(reads):
+        qual = (quals[ri] if quals else None)
+        rn = f"r{ri}\x00".encode()
+        packed = bytearray()
+        for i in range(0, len(seq), 2):
+            hi = code[seq[i]] << 4
+            lo = code[seq[i + 1]] if i + 1 < len(seq) else 0
+            packed.append(hi | lo)
+        q = bytes((ord(c) - 33) for c in qual) if qual else b"\xff" * len(seq)
+        rec = struct.pack("<iiBBHHHiiii", -1, -1, len(rn), 0, 4680, 0,
+                          4, len(seq), -1, -1, 0)
+        rec += rn + b"" + bytes(packed) + q
+        body += struct.pack("<i", len(rec)) + rec
+    with open(path, "wb") as f:
+        f.write(gzip.compress(bytes(body)))
+
+
+def test_bam_reader_roundtrip(tmp_path):
+    """Pure-Python BAM ingestion (reference sam_format.hpp's htslib role)."""
+    from jasper_tpu.io.bam import iter_bam_reads
+    from jasper_tpu.io.fastx import iter_reads
+
+    reads = ["ACGTACGTACGT", "GGGTTTCCCAAA", "ACGTN"]
+    p = tmp_path / "r.bam"
+    _write_bam(str(p), reads)
+    assert list(iter_bam_reads(str(p))) == reads
+    assert list(iter_reads(str(p))) == reads
+
+    # -Q masking: low-quality bases become 'x'
+    quals = ["I" * 12, "I" * 11 + "!", "IIIII"]
+    p2 = tmp_path / "q.bam"
+    _write_bam(str(p2), reads, quals)
+    got = list(iter_bam_reads(str(p2), min_qual_char="5"))
+    assert got[0] == reads[0]
+    assert got[1] == reads[1][:-1] + "x"
+
+    # counting from BAM == counting from FASTA of the same reads
+    import gzip as _g
+
+    fa = tmp_path / "r.fa"
+    with open(fa, "w") as f:
+        for i, r in enumerate(reads):
+            f.write(f">r{i}\n{r}\n")
+    from jasper_tpu.count.counter import count_reads
+    from jasper_tpu.table.kmer_table import table_stats
+
+    t1 = count_reads([str(p)], 5, chunk_len=2048)
+    t2 = count_reads([str(fa)], 5, chunk_len=2048)
+    assert table_stats(t1, 5) == table_stats(t2, 5)
