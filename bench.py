@@ -73,7 +73,7 @@ def main():
     # --- counting: the scatter-free sorted-run pipeline -----------------
     def count_genome():
         acc = RunAccumulator(unit=max(1 << 14, COUNT_CHUNK // 8),
-                             stage_lanes=4 * COUNT_CHUNK)
+                             stage_lanes=8 * COUNT_CHUNK)
         for off in range(0, GENOME_BASES - K + 1, COUNT_CHUNK):
             end = min(off + COUNT_CHUNK + K - 1, GENOME_BASES)
             chunk = np.full(COUNT_CHUNK + K - 1, 4, dtype=np.uint8)

@@ -90,7 +90,7 @@ def count_reads(
         n_slots = slots_for(max(hash_size_hint, chunk_len), GROW_LOAD_LIMIT)
     n_windows = chunk_len - k + 1
     acc = RunAccumulator(unit=max(1 << 14, n_windows // 8),
-                         stage_lanes=4 * n_windows)
+                         stage_lanes=8 * n_windows)
     occupied = 0
     n_chunks = 0
     for codes, _fill in stream_codes(paths, k, chunk_len, min_qual_char):

@@ -207,8 +207,10 @@ _make_run_jit = jax.jit(make_run)
 def _flush_stage_jit(key_parts, valid_parts):
     keys = jnp.concatenate(list(key_parts), axis=0)
     valid = jnp.concatenate(list(valid_parts))
-    ones = jnp.ones(keys.shape[0], dtype=jnp.uint32)
-    return make_run(keys, ones, valid)
+    # make_run_ones (position-derived totals: no counts operand in the big
+    # sort) + compact, instead of make_run's counts-carrying sorts
+    h, skeys, totals = make_run_ones(keys, valid)
+    return _compact(h, skeys, totals)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "canonical"))
@@ -239,7 +241,7 @@ class RunAccumulator:
         self.unit = max(1, unit)
         self.levels: dict[int, tuple] = {}  # size-class exponent -> run
         self.total_occurrences = 0
-        self.stage_lanes = stage_lanes if stage_lanes else 4 * self.unit
+        self.stage_lanes = stage_lanes if stage_lanes else 8 * self.unit
         self._stage: list[tuple] = []  # (keys [B, W], valid [B]) pairs
         self._staged = 0
 

@@ -187,7 +187,7 @@ def main_runs():
 
     # warm pass: compiles every shape in the cascade
     t0 = time.time()
-    acc = RunAccumulator(unit=max(1 << 14, CHUNK // 8), stage_lanes=4 * CHUNK)
+    acc = RunAccumulator(unit=max(1 << 14, CHUNK // 8), stage_lanes=8 * CHUNK)
     full_pass(acc)
     t_compile = time.time() - t0
     del acc
@@ -195,7 +195,7 @@ def main_runs():
           file=sys.stderr)
 
     # timed pass: warm cache
-    acc = RunAccumulator(unit=max(1 << 14, CHUNK // 8), stage_lanes=4 * CHUNK)
+    acc = RunAccumulator(unit=max(1 << 14, CHUNK // 8), stage_lanes=8 * CHUNK)
     t0 = time.time()
     full_pass(acc)
     dt_push = time.time() - t0
