@@ -40,10 +40,18 @@ class _GenStream(io.RawIOBase):
 
 
 class GeneratorManager:
-    def __init__(self, commands_path: str, n_concurrent: int = 1):
+    def __init__(self, commands_path: str, n_concurrent: int = 1,
+                 shell: str | None = None):
+        """shell: explicit shell binary for the commands (jellyfish -S /
+        --shell); default $SHELL, falling back to /bin/sh — the reference
+        generator_manager's resolution order (generator_manager.hpp:112-121).
+        """
+        import os
+
         with open(commands_path) as f:
             self.commands = [line.strip() for line in f if line.strip()]
         self.n = max(1, int(n_concurrent))
+        self.shell = shell or os.environ.get("SHELL") or "/bin/sh"
         self._procs: dict[int, subprocess.Popen] = {}
 
     def streams(self) -> list:
@@ -55,7 +63,8 @@ class GeneratorManager:
         for j in range(idx, min(idx + self.n, len(self.commands))):
             if j not in self._procs:
                 self._procs[j] = subprocess.Popen(
-                    self.commands[j], shell=True, stdout=subprocess.PIPE
+                    [self.shell, "-c", self.commands[j]],
+                    stdout=subprocess.PIPE,
                 )
         return self._procs[idx].stdout
 

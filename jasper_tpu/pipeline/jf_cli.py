@@ -90,6 +90,8 @@ def cmd_count(argv) -> int:
     p.add_argument("--timing", default=None, help="Write stage timings to this file")
     p.add_argument("-g", "--generator", default=None,
                    help="File of shell commands generating sequence on stdout")
+    p.add_argument("-S", "--shell", default=None,
+                   help="Shell for -g generator commands ($SHELL, /bin/sh)")
     p.add_argument("-G", "--Generators", type=int, default=1,
                    help="Number of generator commands running concurrently")
     p.add_argument("files", nargs="*")
@@ -155,7 +157,8 @@ def cmd_count(argv) -> int:
     if args.generator:
         from jasper_tpu.io.generators import GeneratorManager
 
-        inputs = GeneratorManager(args.generator, args.Generators).streams()
+        inputs = GeneratorManager(args.generator, args.Generators,
+                                  shell=args.shell).streams()
 
     tab = count_reads(
         inputs,
