@@ -215,12 +215,15 @@ def _flush_stage_jit(key_parts, valid_parts):
 
 @functools.partial(jax.jit, static_argnames=("k", "canonical"))
 def extract_windows(codes, k: int, canonical: bool = True):
-    """Code chunk -> (keys [L-k+1, W], valid [L-k+1]) on device (the
-    staging feed for RunAccumulator.push_raw)."""
-    from jasper_tpu.ops.kmer import canonical_windows, forward_windows
+    """Code chunk -> (keys, valid) on device (the staging feed for
+    RunAccumulator.push_raw). Canonical extraction uses the funnel-shift
+    fast path in GROUPED order (the sort downstream is order-insensitive);
+    output may be padded with invalid lanes to a multiple of 16."""
+    from jasper_tpu.ops.kmer import canonical_windows_fast, forward_windows
 
-    extract = canonical_windows if canonical else forward_windows
-    return extract(jnp, codes, k)
+    if canonical:
+        return canonical_windows_fast(jnp, codes, k, grouped=True)
+    return forward_windows(jnp, codes, k)
 
 
 class RunAccumulator:

@@ -105,6 +105,111 @@ def forward_windows(xp, codes, k: int):
     return pack_codes(xp, safe, k), valid
 
 
+def _pack_stream(xp, c2, n_words: int):
+    """2-bit codes [16*n_words] -> u32 stream [n_words]: word w =
+    sum_j c2[16w+j] << 2j (LSB-first base order within each word)."""
+    m = c2[: 16 * n_words].reshape(n_words, 16).astype(xp.uint32)
+    out = m[:, 0]
+    for j in range(1, 16):
+        out = out | (m[:, j] << xp.uint32(2 * j))
+    return out
+
+
+def canonical_windows_fast(xp, codes, k: int, grouped: bool = False):
+    """Funnel-shift canonical window extraction over packed 2-bit streams.
+
+    Numerically identical to canonical_windows, but O(W) memory passes
+    instead of O(k): the forward key of window i is the LSB-first packing of
+    the REVERSED code array at position L-k-i, and the revcomp key is the
+    LSB-first packing of the COMPLEMENTED codes at i, so both come from two
+    precomputed u32 streams with per-word funnel shifts
+    (word = (P[w] >> sh) | (P[w+1] << (32-sh))).
+
+    Windows are processed in 16 residue groups (i mod 16 shares its shift,
+    so every slice below is static). grouped=False returns positional order
+    (scan path); grouped=True returns group-major order, valid for
+    order-insensitive consumers (the counting sort path), padded with
+    invalid lanes to length 16*ceil(n/16).
+    Returns (keys uint32 [n_out, W], valid bool [n_out]).
+    """
+    L = int(codes.shape[0])
+    n = L - k + 1
+    W = words_per_kmer(k)
+    if n <= 0:
+        return (xp.zeros((0, W), dtype=xp.uint32), xp.zeros(0, dtype=bool))
+    u32 = xp.uint32
+    T = max(1, -(-n // 16))  # lanes per group
+    FP = T + W + 2  # front pad (words) so reversed fwd slices stay in range
+    n_words = FP + T + W + 2
+
+    base = (codes & np.uint8(3)).astype(xp.uint8)
+    tail_pad = 16 * n_words - L
+    zpad = xp.zeros(tail_pad, dtype=xp.uint8)
+    comp = xp.concatenate([xp.uint8(3) - base, zpad])
+    revc = xp.concatenate([base[::-1], zpad])
+    PC = _pack_stream(xp, comp, n_words)
+    # front-pad the reversed stream by FP zero words: R word (u) lives at
+    # PR[FP + u], so indices (q0 - t + j + FP) are nonnegative for all t < T
+    PR = xp.concatenate(
+        [xp.zeros(FP, dtype=xp.uint32), _pack_stream(xp, revc, n_words - FP)]
+    )
+
+    top_bits = 2 * k - 32 * (W - 1)
+    top_mask = u32(0xFFFFFFFF) if top_bits == 32 else u32((1 << top_bits) - 1)
+
+    # validity (positional): no invalid base inside [i, i+k)
+    bad = (codes > np.uint8(3)).astype(xp.int32)
+    cs = xp.cumsum(xp.concatenate([xp.zeros(1, dtype=xp.int32), bad]))
+    valid_pos = (cs[k : n + k] - cs[:n]) == 0
+    # pad to 16*T so the group reshape below is exact
+    valid_pad = xp.concatenate(
+        [valid_pos, xp.zeros(16 * T - n, dtype=bool)]
+    ).reshape(T, 16)
+
+    keys_g = []
+    for r in range(16):
+        # rc: stream start s = i = 16t + r -> word index t + j, shift 2r
+        sh = 2 * r
+        rc_words = []
+        for j in range(W):
+            a = PC[j : j + T]
+            if sh == 0:
+                rc_words.append(a)
+            else:
+                b = PC[j + 1 : j + 1 + T]
+                rc_words.append((a >> u32(sh)) | (b << u32(32 - sh)))
+        # fwd: stream start s2 = L-k-i = 16*q0 + r2 - 16t in the reversed
+        # array; word index (q0 - t + j), shift 2*r2 — reversed-t slices
+        M = L - k - r
+        r2 = M % 16
+        q0 = M // 16
+        sh2 = 2 * r2
+        fwd_words = []
+        for j in range(W):
+            hi = FP + q0 + j
+            a = PR[hi - (T - 1) : hi + 1][::-1]
+            if sh2 == 0:
+                fwd_words.append(a)
+            else:
+                b = PR[hi + 1 - (T - 1) : hi + 2][::-1]
+                fwd_words.append((a >> u32(sh2)) | (b << u32(32 - sh2)))
+        rc_words[W - 1] = rc_words[W - 1] & top_mask
+        fwd_words[W - 1] = fwd_words[W - 1] & top_mask
+        fwd = xp.stack(fwd_words, axis=-1)
+        rc = xp.stack(rc_words, axis=-1)
+        le = words_le(xp, fwd, rc)
+        keys_g.append(xp.where(le[..., None], fwd, rc))
+
+    keys = xp.stack(keys_g, axis=0)  # [16, T, W]
+    valid = xp.swapaxes(valid_pad, 0, 1)  # [16, T]
+    if grouped:
+        return keys.reshape(16 * T, W), valid.reshape(16 * T)
+    # positional: out[i] = group (i%16), lane (i//16)
+    keys = xp.swapaxes(keys, 0, 1).reshape(16 * T, W)[:n]
+    valid = valid_pad.reshape(16 * T)[:n]
+    return keys, valid
+
+
 def canonical_kmers_of_batch(xp, codes, k: int):
     """Like canonical_windows but for a batch [B, L] -> ([B, L-k+1, W], [B, L-k+1])."""
     win = xp.stack([codes[:, p : p + codes.shape[1] - k + 1] for p in range(k)], axis=-1)

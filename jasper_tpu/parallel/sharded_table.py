@@ -353,14 +353,14 @@ def sharded_scan_fn(mesh: Mesh, k: int, codes_per_device: int, divisor: int = 50
     (data-parallel over contig chunks) + sharded table lookup (all-to-all
     over the table axis) + classification flags. This is the composition the
     production multi-chip polish path runs every window batch."""
-    from jasper_tpu.ops.kmer import canonical_windows
+    from jasper_tpu.ops.kmer import canonical_windows_fast
 
     n_windows = codes_per_device - k + 1
     W = (2 * k + 31) // 32
     router = _Router(mesh.shape["table"], W, n_windows)
 
     def per_device(tab, codes, thre):
-        keys, valid = canonical_windows(jnp, codes[0], k)
+        keys, valid = canonical_windows_fast(jnp, codes[0], k)
         order, slot_lane, n_overflow, rk, rv = router.route_keys(keys, valid)
         local_counts = lookup_kmers(tab[0], rk, rv,
                                     owner_bits=_owner_bits(router.D))

@@ -22,7 +22,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from jasper_tpu.ops.kmer import canonical_windows
+from jasper_tpu.ops.kmer import canonical_windows_fast
 from jasper_tpu.table.kmer_table import lookup_kmers
 
 
@@ -33,7 +33,7 @@ def scan_window(tab, codes, solid_threshold, k: int, divisor: int = 50):
     solid_threshold: scalar uint32 (device). Positions with invalid bases
     get counts 0 and flags False.
     """
-    keys, valid = canonical_windows(jnp, codes, k)
+    keys, valid = canonical_windows_fast(jnp, codes, k)
     counts = lookup_kmers(tab, keys, valid)
     thr = jnp.uint32(solid_threshold)
     below = valid & (counts < thr)

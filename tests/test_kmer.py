@@ -101,3 +101,51 @@ def test_window_stack():
     assert w.shape == (7, 4)
     np.testing.assert_array_equal(w[0], [0, 1, 2, 3])
     np.testing.assert_array_equal(w[6], [6, 7, 8, 9])
+
+
+def test_canonical_windows_fast_positional_matches():
+    """Funnel-shift extraction == reference extraction, positional order,
+    for several k straddling word boundaries and invalid bases."""
+    from jasper_tpu.ops.kmer import canonical_windows, canonical_windows_fast
+
+    rng = np.random.default_rng(41)
+    for k in (5, 16, 17, 25, 31, 32, 33, 37, 48, 49):
+        for L in (k, k + 1, k + 15, k + 16, 1000, 1037):
+            codes = rng.integers(0, 5, size=L).astype(np.uint8)
+            ref_k, ref_v = canonical_windows(np, codes, k)
+            got_k, got_v = canonical_windows_fast(np, codes, k)
+            np.testing.assert_array_equal(got_v, ref_v, err_msg=f"k={k} L={L}")
+            np.testing.assert_array_equal(
+                got_k[ref_v], ref_k[ref_v], err_msg=f"k={k} L={L}"
+            )
+
+
+def test_canonical_windows_fast_grouped_set_equal():
+    from jasper_tpu.ops.kmer import canonical_windows, canonical_windows_fast
+
+    rng = np.random.default_rng(43)
+    k = 25
+    codes = rng.integers(0, 5, size=2000).astype(np.uint8)
+    ref_k, ref_v = canonical_windows(np, codes, k)
+    got_k, got_v = canonical_windows_fast(np, codes, k, grouped=True)
+    ref_set = {}
+    for kk in map(tuple, ref_k[ref_v]):
+        ref_set[kk] = ref_set.get(kk, 0) + 1
+    got_set = {}
+    for kk in map(tuple, got_k[got_v]):
+        got_set[kk] = got_set.get(kk, 0) + 1
+    assert got_set == ref_set
+
+
+def test_canonical_windows_fast_jax_matches_numpy():
+    import jax.numpy as jnp
+
+    from jasper_tpu.ops.kmer import canonical_windows_fast
+
+    rng = np.random.default_rng(47)
+    codes = rng.integers(0, 5, size=3000).astype(np.uint8)
+    for k in (21, 37):
+        nk, nv = canonical_windows_fast(np, codes, k)
+        jk, jv = canonical_windows_fast(jnp, jnp.asarray(codes), k)
+        np.testing.assert_array_equal(np.asarray(jk), nk)
+        np.testing.assert_array_equal(np.asarray(jv), nv)
