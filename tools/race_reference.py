@@ -17,7 +17,6 @@ Work dir: .race/ (gitignored).
 
 import json
 import os
-import random
 import shutil
 import subprocess
 import sys
@@ -33,67 +32,85 @@ def log(msg):
 
 
 def make_data(genome_kb: int, coverage: int, seed: int = 7):
-    random.seed(seed)
-    n = genome_kb * 1000
-    genome = "".join(random.choice("ACGT") for _ in range(n))
-    # draft with an error every ~4 kb, rotating sub/del/ins
-    draft = []
-    pos = 0
-    kinds = ["sub", "del", "ins"]
-    ki = 0
-    err_every = 4000
-    nxt = 2000
-    while pos < n:
-        draft.append(genome[pos])
-        pos += 1
-        if pos == nxt and pos < n - err_every:
-            kind = kinds[ki % 3]
-            ki += 1
-            if kind == "sub":
-                draft[-1] = "ACGT"[("ACGT".index(draft[-1]) + 1) % 4]
-            elif kind == "del":
-                draft.pop()
-            else:
-                draft.append(random.choice("ACGT"))
-            nxt += err_every
-    draft = "".join(draft)
+    """Vectorized synthetic data: genome, draft with rotating sub/del/ins
+    errors every ~4 kb, and reads with hotspot + random errors."""
+    import numpy as np
 
-    rc = {"A": "T", "C": "G", "G": "C", "T": "A"}
-    # error hotspots with mixed probabilities for a sloped histogram
-    hot = []
-    for _ in range(n // 30):
-        p = random.randrange(n)
-        b = random.choice([c for c in "ACGT" if c != genome[p]])
-        hot.append((p, b, random.uniform(0.005, 0.18) ** 1.5))
-    hot.sort()
+    rng = np.random.default_rng(seed)
+    n = genome_kb * 1000
+    LUT = np.frombuffer(b"ACGT", dtype=np.uint8)
+    gcodes = rng.integers(0, 4, size=n).astype(np.uint8)
+    genome_b = LUT[gcodes].tobytes()
+
+    # draft with an error every ~4 kb, rotating sub/del/ins
+    draft = bytearray()
+    prev = 0
+    kinds = ["sub", "del", "ins"]
+    for ei, pos in enumerate(range(2000, n - 4000, 4000)):
+        draft += genome_b[prev:pos]
+        kind = kinds[ei % 3]
+        if kind == "sub":
+            draft[-1] = LUT[(gcodes[pos - 1] + 1) % 4]
+        elif kind == "del":
+            draft.pop()
+        else:
+            draft.append(LUT[rng.integers(0, 4)])
+        prev = pos
+    draft += genome_b[prev:]
+    draft = bytes(draft)
+
     read_len = 250
     n_reads = n * coverage // read_len
     asm = os.path.join(RACE, "asm.fa")
     reads = os.path.join(RACE, "reads.fq")
-    with open(asm, "w") as f:
-        f.write(">ctg1\n")
+    with open(asm, "wb") as f:
+        f.write(b">ctg1\n")
         for off in range(0, len(draft), 70):
-            f.write(draft[off : off + 70] + "\n")
-    import bisect
+            f.write(draft[off : off + 70] + b"\n")
 
-    positions = [h[0] for h in hot]
-    with open(reads, "w") as f:
-        for i in range(n_reads):
-            s = random.randrange(0, n - read_len)
-            r = list(genome[s : s + read_len])
-            lo = bisect.bisect_left(positions, s)
-            hi = bisect.bisect_left(positions, s + read_len)
-            for p, b, prob in hot[lo:hi]:
-                if random.random() < prob:
-                    r[p - s] = b
-            r = [
-                "ACGT"[random.randrange(4)] if random.random() < 0.002 else c
-                for c in r
-            ]
-            r = "".join(r)
-            if i % 2:
-                r = "".join(rc[c] for c in reversed(r))
-            f.write(f"@r{i}\n{r}\n+\n{'I' * len(r)}\n")
+    # hotspot errors: n/30 positions, per-hotspot probability skewed small
+    n_hot = n // 30
+    hot_pos = np.sort(rng.integers(0, n, size=n_hot))
+    hot_base = ((gcodes[hot_pos] + rng.integers(1, 4, size=n_hot)) % 4).astype(np.uint8)
+    hot_prob = rng.uniform(0.005, 0.18, size=n_hot) ** 1.5
+
+    RC = np.zeros(256, np.uint8)
+    for a, b in zip(b"ACGT", b"TGCA"):
+        RC[a] = b
+    starts = rng.integers(0, n - read_len, size=n_reads)
+    qual = b"I" * read_len
+    CHUNK = 4096  # reads per batch
+    with open(reads, "wb") as f:
+        for c0 in range(0, n_reads, CHUNK):
+            ss = starts[c0 : c0 + CHUNK]
+            m = len(ss)
+            mat = np.empty((m, read_len), dtype=np.uint8)
+            for j, s in enumerate(ss):
+                mat[j] = np.frombuffer(genome_b[s : s + read_len], np.uint8)
+            # hotspot application (vectorized per batch)
+            lo = np.searchsorted(hot_pos, ss)
+            hi = np.searchsorted(hot_pos, ss + read_len)
+            for j in range(m):
+                if hi[j] > lo[j]:
+                    seg = slice(lo[j], hi[j])
+                    hit = rng.random(hi[j] - lo[j]) < hot_prob[seg]
+                    cols = hot_pos[seg][hit] - ss[j]
+                    mat[j, cols] = LUT[hot_base[seg][hit]]
+            # random 0.2% errors
+            emask = rng.random(mat.shape) < 0.002
+            repl = LUT[rng.integers(0, 4, size=mat.shape).astype(np.uint8)]
+            mat = np.where(emask, repl, mat)
+            # revcomp odd reads
+            odd = (np.arange(c0, c0 + m) % 2) == 1
+            mat[odd] = RC[mat[odd][:, ::-1]]
+            parts = []
+            for j in range(m):
+                parts.append(b"@r%d\n" % (c0 + j))
+                parts.append(mat[j].tobytes())
+                parts.append(b"\n+\n")
+                parts.append(qual)
+                parts.append(b"\n")
+            f.write(b"".join(parts))
     return asm, reads
 
 
