@@ -78,6 +78,33 @@ def read_jf(path: str):
     return k, keys, counts, header
 
 
+def _sort_records(pos, keys, counts, W: int, device_min: int = 1 << 20):
+    """(pos, keys) sort of dump records; device lax.sort above device_min."""
+    n = keys.shape[0]
+    counts_arr = np.asarray(counts)
+    fits_u32 = n == 0 or int(counts_arr.max()) <= 0xFFFFFFFF
+    if n >= device_min and fits_u32:
+        try:
+            import jax
+            import jax.numpy as jnp
+
+            ops = (
+                (jnp.asarray(pos),)
+                + tuple(jnp.asarray(keys[:, W - 1 - j]) for j in range(W))
+                + (jnp.asarray(np.asarray(counts, dtype=np.uint32)),)
+            )
+            s = jax.lax.sort(ops, num_keys=W + 1)
+            skeys = np.stack(
+                [np.asarray(s[1 + W - 1 - j]) for j in range(W)], axis=-1
+            )
+            return skeys, np.asarray(s[W + 1]).astype(np.uint64)
+        except Exception:
+            pass
+    order_cols = [keys[:, j] for j in range(W)] + [pos]
+    order = np.lexsort(order_cols)
+    return keys[order], np.asarray(counts, dtype=np.uint64)[order]
+
+
 def write_jf(
     path: str,
     k: int,
@@ -102,11 +129,10 @@ def write_jf(
     matrix = GF2Matrix.identity(lsize, 2 * k)
 
     pos = matrix.times_words(keys)
-    # sort by (pos, key) — key compared MSB-first == word-wise from the top
-    order_cols = [keys[:, j] for j in range(W)] + [pos]
-    order = np.lexsort(order_cols)
-    skeys = keys[order]
-    scounts = np.asarray(counts, dtype=np.uint64)[order]
+    # sort by (pos, key) — key compared MSB-first == word-wise from the top.
+    # Large dumps sort on the device (lax.sort runs at sort-bandwidth; a
+    # host lexsort of 10^8-scale keys costs minutes), falling back to numpy.
+    skeys, scounts = _sort_records(pos, keys, counts, W)
 
     max_val = np.uint64((1 << (8 * counter_len)) - 1)
     scounts = np.minimum(scounts, max_val)
