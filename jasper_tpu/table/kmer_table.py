@@ -293,19 +293,17 @@ def lookup_kmers(tab, keys, valid, max_rounds: int | None = None,
 # -- whole-table reductions --------------------------------------------------
 
 
-def _occupied_counts(tab, k: int):
-    sw = slot_words_for(words_per_kmer(k))
-    n_rows = tab.shape[0]
-    return tab.reshape(n_rows * (ROW_U32 // sw), sw)[:, sw - 1]
-
-
 def table_histogram(tab, max_count: int, k: int | None = None, W: int | None = None):
     """count-frequency histogram over occupied slots (mirrors jellyfish
-    histo's bucketing, sub_commands/histo_main.cc)."""
+    histo's bucketing, sub_commands/histo_main.cc).
+
+    The count lane is read with a 1-D strided slice — a 2-D
+    reshape(-1, sw) materializes a [slots, sw] array whose minor dim gets
+    tile-padded to 128 on TPU (observed as a 68 GB OOM at 134M slots)."""
     if W is None:
         W = words_per_kmer(k)
     sw = slot_words_for(W)
-    counts = tab.reshape(-1, sw)[:, sw - 1]
+    counts = tab.reshape(-1)[sw - 1 :: sw]
     clipped = jnp.clip(counts, 0, max_count)
     return jnp.bincount(clipped, length=max_count + 1).at[0].set(0)
 
