@@ -203,6 +203,16 @@ _make_run_ones_jit = jax.jit(make_run_ones)
 _make_run_jit = jax.jit(make_run)
 
 
+@functools.partial(jax.jit, static_argnames=("L",))
+def _pad_run_jit(h, keys, counts, L: int):
+    pad = L - h.shape[0]
+    return (
+        jnp.concatenate([h, jnp.zeros(pad, h.dtype)]),
+        jnp.concatenate([keys, jnp.zeros((pad, keys.shape[1]), keys.dtype)]),
+        jnp.concatenate([counts, jnp.zeros(pad, counts.dtype)]),
+    )
+
+
 @jax.jit
 def _flush_stage_jit(key_parts, valid_parts):
     keys = jnp.concatenate(list(key_parts), axis=0)
@@ -281,12 +291,24 @@ class RunAccumulator:
         L = min(self.unit << j, h.shape[0])
         return j, (h[:L], keys[:L], counts[:L])
 
+    def _merge(self, a, b):
+        """Merge two runs, padding the smaller to the larger length so the
+        expensive merge sort only ever compiles per (L, L) shape — O(log)
+        distinct programs instead of O(levels^2) pairs (each first compile
+        costs minutes through a TPU tunnel)."""
+        if a[0].shape[0] < b[0].shape[0]:
+            a, b = b, a
+        L = a[0].shape[0]
+        if b[0].shape[0] < L:
+            b = _pad_run_jit(b[0], b[1], b[2], L)
+        return _merge_jit(a[0], a[1], a[2], b[0], b[1], b[2])
+
     def push(self, h, keys, counts, n_active: int):
         self.total_occurrences += 0  # caller tracks occurrences if needed
         j, run = self._truncate((h, keys, counts), int(n_active))
         while j in self.levels:
-            oh, ok, oc = self.levels.pop(j)
-            h, keys, counts, n_act = _merge_jit(oh, ok, oc, *run)
+            old = self.levels.pop(j)
+            h, keys, counts, n_act = self._merge(old, run)
             j, run = self._truncate((h, keys, counts), int(n_act))
         self.levels[j] = run
 
@@ -297,8 +319,8 @@ class RunAccumulator:
         j = self._size_class(h.shape[0])
         run = (h, keys, counts)
         while j in self.levels:
-            oh, ok, oc = self.levels.pop(j)
-            h, keys, counts, n_act = _merge_jit(oh, ok, oc, *run)
+            old = self.levels.pop(j)
+            h, keys, counts, n_act = self._merge(old, run)
             j, run = self._truncate((h, keys, counts), int(n_act))
         self.levels[j] = run
 
@@ -312,10 +334,12 @@ class RunAccumulator:
         runs = [self.levels.pop(j) for j in sorted(self.levels)]
         if not runs:
             return None
-        h, keys, counts = runs[0]
+        cur = runs[0]
         n_active = None
         for r in runs[1:]:
-            h, keys, counts, n_active = _merge_jit(h, keys, counts, *r)
+            h, keys, counts, n_active = self._merge(cur, r)
+            cur = (h, keys, counts)
+        h, keys, counts = cur
         if n_active is None:
             n_active = jnp.sum((counts > 0).astype(jnp.uint32))
         return h, keys, counts, int(n_active)
