@@ -130,6 +130,14 @@ def setup_pyenv():
         os.path.join(pyenv, "Bio"),
         dirs_exist_ok=True,
     )
+    # this image ships no `bc`; jasper.sh's QV math needs one (sh:238-256)
+    bindir = os.path.join(RACE, "bin")
+    os.makedirs(bindir, exist_ok=True)
+    bc = os.path.join(bindir, "bc")
+    with open(bc, "w") as f:
+        f.write("#!/bin/sh\nexec %s %s \"$@\"\n"
+                % (sys.executable, os.path.join(REPO, "tools/bc_shim.py")))
+    os.chmod(bc, 0o755)
     return pyenv
 
 
@@ -138,7 +146,8 @@ def run_reference(asm, reads, k, passes, threads, batch):
     os.makedirs(wd, exist_ok=True)
     pyenv = setup_pyenv()
     env = dict(os.environ)
-    env["PATH"] = os.path.join(BASE, "install/bin") + os.pathsep + env["PATH"]
+    env["PATH"] = (os.path.join(BASE, "install/bin") + os.pathsep
+                   + os.path.join(RACE, "bin") + os.pathsep + env["PATH"])
     env["PYTHONPATH"] = pyenv
     env["JASPER_TPU_ROOT"] = REPO
     t0 = time.time()
@@ -196,7 +205,7 @@ def main():
     asm, reads = make_data(genome_kb, coverage)
 
     ref_wd, ref_s, ref_out = run_reference(asm, reads, k, passes, threads, batch)
-    tpu_wd, tpu_s, _ = run_ours(asm, reads, k, passes, 1, batch)
+    tpu_wd, tpu_s, tpu_res = run_ours(asm, reads, k, passes, 1, batch)
 
     def slurp(d, name):
         with open(os.path.join(d, name), "rb") as f:
@@ -217,6 +226,7 @@ def main():
         "polished_identical": pol_ref == pol_tpu,
         "fixes_identical": fix_ref == fix_tpu,
         "ref_qv": [q.decode() for q in qv_ref],
+        "tpu_qv": [tpu_res["q_before"], tpu_res["q_after"]],
     }
     print(json.dumps(result))
     if not (result["polished_identical"] and result["fixes_identical"]):
