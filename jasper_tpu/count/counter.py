@@ -61,7 +61,7 @@ def count_reads(
     paths: Iterable[str],
     k: int,
     n_slots: int | None = None,
-    chunk_len: int = 1 << 22,
+    chunk_len: int = 1 << 23,  # profiled sweet spot (BASELINE.md counting table)
     hash_size_hint: int | None = None,
     progress=None,
     canonical: bool = True,
