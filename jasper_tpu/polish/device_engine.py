@@ -32,13 +32,32 @@ from jasper_tpu.polish.window import scan_window_tiled
 class ContigScan:
     """Device-precomputed per-contig arrays (pass-start sequence)."""
 
-    __slots__ = ("counts", "valid", "unsafe", "n")
+    __slots__ = ("counts", "valid", "unsafe", "n", "_stride", "_by_residue")
 
     def __init__(self, counts, valid, unsafe):
         self.counts = counts
         self.valid = valid
         self.unsafe = unsafe
         self.n = len(counts)
+        self._stride = None
+        self._by_residue = None
+
+    def skip_clean(self, di: int, stride: int) -> int:
+        """Number of stride steps from di to the first flagged position on
+        the grid di, di+stride, ... (== the position count if none) —
+        equivalent to np.flatnonzero(unsafe[di::stride])[0] without slicing
+        the tail of the contig on every call (O(log F) via per-residue
+        sorted flagged-position indexes; the slice version re-touches
+        n/stride lanes per repaired region, quadratic on long contigs)."""
+        if self._stride != stride:
+            F = np.flatnonzero(self.unsafe)
+            self._by_residue = [F[F % stride == r] for r in range(stride)]
+            self._stride = stride
+        arr = self._by_residue[di % stride]
+        j = np.searchsorted(arr, di)
+        if j < len(arr):
+            return (int(arr[j]) - di) // stride
+        return -(-(self.n - di) // stride)  # ceil: steps to fall off the end
 
 
 class DeviceScanner:
@@ -128,10 +147,7 @@ class DevicePolishEngine(PolishEngine):
                 if i >= clean_from:
                     di = i - (len(seq) - orig_len)
                     if 0 <= di < arrays.n and not arrays.unsafe[di]:
-                        strided = arrays.unsafe[di :: k - 1]
-                        hits = np.flatnonzero(strided)
-                        m = int(hits[0]) if len(hits) else len(strided)
-                        i += m * (k - 1)
+                        i += arrays.skip_clean(di, k - 1) * (k - 1)
                         continue
 
                 mer = seq[i : k + i]
