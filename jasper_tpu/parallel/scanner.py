@@ -133,7 +133,7 @@ def mesh_for_table(table_bytes: int, num_devices: int,
 
 
 def select_scanner(host_table, k: int, num_devices: int | None = None,
-                   hbm_budget: int = HBM_TABLE_BUDGET, tile: int = 1 << 20,
+                   hbm_budget: int = HBM_TABLE_BUDGET, tile: int = 1 << 22,
                    devices=None):
     """The driver's scanner policy. Returns a scanner object with
     .prepare(seq, thre) -> ContigScan."""

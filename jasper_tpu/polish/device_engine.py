@@ -68,7 +68,7 @@ class DeviceScanner:
     multi-chip polish path (reference P5: xargs -P process fan-out,
     src/jasper.sh:209-212)."""
 
-    def __init__(self, tab, k: int, divisor: int = 50, tile: int = 1 << 20,
+    def __init__(self, tab, k: int, divisor: int = 50, tile: int = 1 << 22,
                  mesh=None):
         self.tab = tab
         self.k = int(k)

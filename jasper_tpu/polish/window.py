@@ -76,7 +76,7 @@ def _dp_scan_fn(mesh, k: int, divisor: int):
 _DP_SCAN_CACHE: dict = {}
 
 
-def scan_window_tiled(tab, codes, solid_threshold, k: int, tile: int = 1 << 20,
+def scan_window_tiled(tab, codes, solid_threshold, k: int, tile: int = 1 << 22,
                       divisor: int = 50, mesh=None):
     """Host helper: scan an arbitrarily long code array in fixed tiles with
     k-1 halo so jit only ever sees one shape. Returns numpy arrays [L-k+1].
