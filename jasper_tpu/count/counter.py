@@ -84,10 +84,18 @@ def count_reads(
     The caller dumps/merges the returned final table itself.
     """
     paths = list(paths)
+    total_bytes = total_file_bytes(paths)
     if n_slots is None:
         if hash_size_hint is None:
-            hash_size_hint = max(1024, total_file_bytes(paths) // 10)
+            hash_size_hint = max(1024, total_bytes // 10)
         n_slots = slots_for(max(hash_size_hint, chunk_len), GROW_LOAD_LIMIT)
+    # clamp the chunk to the input size (next power of two; .gz estimated at
+    # 4x) so small runs don't pad tiny inputs to the full 8M-lane programs
+    est = total_bytes * (4 if any(
+        isinstance(p, str) and p.endswith(".gz") for p in paths) else 1)
+    if est > 0:
+        cap = 1 << max(14, (max(est, 4 * k) - 1).bit_length())
+        chunk_len = min(chunk_len, cap)
     n_windows = chunk_len - k + 1
     acc = RunAccumulator(unit=max(1 << 14, n_windows // 8),
                          stage_lanes=8 * n_windows)
