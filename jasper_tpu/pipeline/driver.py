@@ -225,17 +225,28 @@ def _bc_trunc(x: float, scale: int) -> str:
 
 def qv_from_tallies(err: int, total: int, k: int) -> str:
     """sh:239-246: Q = -10*log10(1 - pgood^(1/k)), 5-decimal truncation,
-    'Inf' when the error rate underflows to <= 0."""
+    'Inf' when the error rate underflows to <= 0.
+
+    bc semantics: the DIVISION err/total truncates at scale 10 (then the
+    subtraction is exact), so pgood = 1 - trunc(err/total, 10) — computed
+    with integer arithmetic to avoid float noise at the 10th digit."""
     if total == 0:
         return "Inf"
-    pgood = 1 - err / total
-    # bc scale=10 division truncation
-    pgood = math.floor(pgood * 10**10) / 10**10 if pgood >= 0 else pgood
+    pgood = 1 - (err * 10**10 // total) / 10**10
     if pgood <= 0:
         return "0"
     error_rate = 1 - math.exp(math.log(pgood) * (1 / k))
     if error_rate > 0:
-        return _bc_trunc(-10 * math.log(error_rate) / math.log(10), 5)
+        # bc evaluates `scale=5; -10*l(er)/l(10)`: mathlib l() RETURNS a
+        # value truncated to the caller's scale (libmath computes with 6
+        # guard digits then `return (f/1)`), and the division truncates at
+        # scale 5 again — reproduce that exact chain
+        def t5(x: float) -> float:
+            return int(x * 10**5) / 10**5  # toward zero, like bc
+
+        lnum = t5(math.log(error_rate))
+        lden = t5(math.log(10))  # 2.30258
+        return _bc_trunc(-10 * lnum / lden, 5)
     return "Inf"
 
 

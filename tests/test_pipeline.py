@@ -227,3 +227,35 @@ def test_select_scanner_policy(small_case):
     assert mesh_for_table(1 << 20, 8, hbm_budget=1 << 17) == (8, 1)
     assert mesh_for_table(1 << 20, 8, hbm_budget=1 << 19) == (2, 4)
     assert mesh_for_table(100, 8, hbm_budget=1 << 30) == (1, 8)
+
+
+def test_qv_matches_bc_reference_math():
+    """qv_from_tallies must reproduce jasper.sh's bc pipeline digit-exactly
+    (sh:238-256), checked against the committed bc shim."""
+    import subprocess
+
+    from jasper_tpu.pipeline.driver import qv_from_tallies
+
+    def bc_eval(expr):
+        r = subprocess.run(
+            [sys.executable, str(G.REPO / "tools" / "bc_shim.py")],
+            input=expr, capture_output=True, text=True,
+        )
+        return r.stdout.strip()
+
+    rng = np.random.default_rng(8)
+    cases = [(100, 10000, 37), (1, 3, 25), (999, 1000000, 25),
+             (123456, 98765432, 37), (7, 100000000, 17)]
+    for _ in range(20):
+        total = int(rng.integers(1000, 10**9))
+        err = int(rng.integers(1, total // 10))
+        cases.append((err, total, int(rng.choice([17, 25, 37]))))
+    for err, total, k in cases:
+        pgood = bc_eval(f"scale=10; 1-{err}/{total}\n")
+        er = bc_eval(f"scale=50; 1 - e(l({pgood})*(1/{k}))\n")
+        if bc_eval(f"{er} > 0\n") == "1":
+            want = bc_eval(f"scale=5; -10*l({er}) / l(10)\n")
+        else:
+            want = "Inf"
+        got = qv_from_tallies(err, total, k)
+        assert got == want, (err, total, k, got, want)
