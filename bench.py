@@ -34,7 +34,9 @@ import numpy as np
 
 GENOME_BASES = 4_000_000
 TILE = 1 << 20  # windows per device call
-COUNT_CHUNK = 1 << 22  # bases per counting chunk
+COUNT_BASES = 32_000_000  # separate, larger input for the counting metric
+COUNT_COVERAGE = 8  # production counting sees multi-x coverage, not all-distinct
+COUNT_CHUNK = 1 << 23  # bases per counting chunk (production default)
 ITERS = 8
 K = 37
 DEFAULT_BASELINE_LOOKUPS_PER_SEC = 4.03e6  # measured: see bench_baseline.json
