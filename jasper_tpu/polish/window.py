@@ -130,10 +130,16 @@ def scan_window_tiled(tab, codes, solid_threshold, k: int, tile: int = 1 << 22,
         below[pos : pos + m] = np.asarray(b)[:m]
         rel[pos : pos + m] = np.asarray(r)[:m]
         pos += m
-    # fix up reldrop at tile boundaries: prev index crosses tiles; recompute
-    # on host (cheap) for exactness
-    idx = np.maximum(np.arange(n) - k, 0)
-    prev = counts[idx].astype(np.uint64)
-    ceil_prev = prev // divisor + (prev % divisor != 0)
-    rel = (counts > 0) & ~below & (np.arange(n) > 0) & (counts < ceil_prev)
+    # the device reldrop is exact except in the first k positions of each
+    # non-first tile, where the in-tile prev index max(i-k, 0) clamps to the
+    # tile start instead of reaching back across the boundary (and the
+    # in-tile i>0 test misfires at local 0); recompute just those
+    # O(k * n/tile) positions on host. (counts>0) & ~below ≡ valid & ~below
+    # here because a valid window below any threshold >= 1 has below=True.
+    for t in range(tile, n, tile):
+        idxs = np.arange(t, min(t + k, n))
+        prev = counts[idxs - k].astype(np.uint64)
+        ceil_prev = prev // divisor + (prev % divisor != 0)
+        rel[idxs] = ((counts[idxs] > 0) & ~below[idxs]
+                     & (counts[idxs] < ceil_prev))
     return counts, below, rel

@@ -54,11 +54,16 @@ def _finish_backtrace(a: str, b: str, sA: str, sB: str, row: int, col: int):
     return sA, sB
 
 
-def _gap_walk(a, b, sA, sB, row, col, col_gap, trace, in_process, direction):
-    """pairwise2 `_find_gap_open` for linear gaps: walk the maximal gap,
-    pushing each intermediate opening point (gap length >= 2) as an
-    alternative traceback branch."""
+def _gap_walk(a, b, sA, sB, row, col, col_gap, score, trace, gap,
+              in_process, direction):
+    """pairwise2 1.79 `_find_gap_open` for linear gaps: walk the maximal
+    gap, pushing each intermediate opening point (gap length >= 2) whose
+    path is co-optimal (`score[row][col] + gap*(nth+1) == target_score`) as
+    an alternative traceback branch. Push happens BEFORE the border break,
+    exactly as in pairwise2 (the pushed state carries trace bits 0 and is
+    border-filled on pop)."""
     target = col if direction == "col" else row
+    target_score = score[row][col]
     for nth in range(target):
         if direction == "col":
             col -= 1
@@ -68,10 +73,11 @@ def _gap_walk(a, b, sA, sB, row, col, col_gap, trace, in_process, direction):
             row -= 1
             sA += a[row]
             sB += "-"
+        actual_score = score[row][col] + gap * (nth + 1)
+        if actual_score == target_score and nth > 0:
+            in_process.append((sA, sB, row, col, col_gap, trace[row][col]))
         if not trace[row][col]:
             break
-        if nth > 0:
-            in_process.append((sA, sB, row, col, col_gap, trace[row][col]))
     return sA, sB, row, col
 
 
@@ -167,19 +173,27 @@ def globalms(a: str, b: str, match: float = 0, mismatch: float = -1,
                 else:
                     col_gap = False
                     sA, sB, row, col = _gap_walk(
-                        a, b, sA, sB, row, col, col_gap, trace, in_process,
-                        "col")
+                        a, b, sA, sB, row, col, col_gap, score, trace, gap,
+                        in_process, "col")
             else:  # 16 = extend gap in seqB
                 tr -= 16
                 col_gap = True
                 sA, sB, row, col = _gap_walk(
-                    a, b, sA, sB, row, col, col_gap, trace, in_process,
-                    "row")
+                    a, b, sA, sB, row, col, col_gap, score, trace, gap,
+                    in_process, "row")
             if tr:
                 in_process.append(cache + (tr,))
             tr = trace[row][col]
         if not dead_end:
             aa = sA[::-1]
             bb = sB[::-1]
+            # safety net: the returned alignment must re-score to best_score
+            # (guards the co-optimality gate in _gap_walk)
+            re_score = sum(
+                gap if (x == "-" or y == "-")
+                else (match if x == y else mismatch)
+                for x, y in zip(aa, bb)
+            )
+            assert re_score == best_score, (re_score, best_score)
             return [(aa, bb, float(best_score), 0, len(aa))]
     raise AssertionError("no traceback survived (unreachable)")
