@@ -63,6 +63,73 @@ def table_size_for_mem(k: int, mem_bytes: int, load_factor: float = 0.8) -> int:
     return lo
 
 
+# -- reference (jellyfish) memory formula ------------------------------------
+#
+# Exact port of `jellyfish mem` (reference sub_commands/mem_main.cc:41-53 ->
+# large_hash_array.hpp usage_info:97-147 -> offsets_key_value.hpp
+# compute_offsets:243-268): the bit-packed quotiented CPU layout, so capacity
+# planning against a real jellyfish deployment gets the reference's number,
+# not this framework's. Validated digit-exact against the built
+# jellyfish-2.3.0 binary across mer lengths / sizes / counter widths.
+
+_QUADRATIC_REPROBES = [1] + [j * (j + 1) // 2 for j in range(1, 257)]
+# sizeof(array_base) + sizeof(Offsets<uint64_t>) on the reference's LP64
+# build — the fixed struct overhead mem() adds (large_hash_array.hpp:113-114)
+_JF_STRUCT_BYTES = 24816
+
+
+def _jf_block_info(key_len: int, val_len: int) -> tuple[int, int]:
+    """(records_per_block, words_per_block) of jellyfish's packed layout
+    (offsets_key_value.hpp compute_offsets / add_key_offsets /
+    add_val_offsets; word = uint64, spilled key words lose one set bit)."""
+    cword = cboff = 0
+    nrec = 0
+    while True:
+        add = key_len + 1  # + large bit
+        if cboff + add <= 64:
+            cboff = (cboff + add) % 64
+            cword += cboff == 0
+        else:
+            wcap = 63  # word capacity without the set bit
+            add -= wcap - cboff
+            cword += 1 + add // wcap
+            cboff = add % wcap
+            cboff += cboff > 0
+        cboff += val_len
+        cword += cboff // 64
+        cboff %= 64
+        nrec += 1
+        if not (cboff != 0 and cboff < 62):
+            break
+    return nrec, cword + (1 if cboff else 0)
+
+
+def jellyfish_mem_bytes(m: int, size: int, counter_len: int = 7,
+                        max_reprobe: int = 126) -> int:
+    """Bytes `jellyfish count -m <m> -s <size> -c <counter_len>` would use
+    for its hash (usage_info::mem, large_hash_array.hpp:106-115)."""
+    lsize = (size - 1).bit_length() if size > 1 else 0  # ceilLog2
+    asize = 1 << lsize
+    limit = max_reprobe
+    while _QUADRATIC_REPROBES[limit] >= asize and limit >= 1:
+        limit -= 1
+    raw_key_len = max(2 * m - lsize, 0)
+    bl, bwl = _jf_block_info(raw_key_len + (limit + 1).bit_length(),
+                             counter_len)
+    return -(-asize // bl) * bwl * 8 + _JF_STRUCT_BYTES
+
+
+def jellyfish_size_for_mem(m: int, mem_bytes: int, counter_len: int = 7,
+                           max_reprobe: int = 126) -> int:
+    """Largest -s jellyfish would accept within mem_bytes
+    (usage_info::size/size_bits, large_hash_array.hpp:128-135)."""
+    bits = 0
+    while bits < 64 and jellyfish_mem_bytes(
+            m, 1 << bits, counter_len, max_reprobe) < mem_bytes:
+        bits += 1
+    return 1 << (bits - 1 if bits > 0 else 0)
+
+
 def add_suffix(val: int, base: int) -> str:
     """Human-size string like the reference's add_suffix (mem_main.cc:24-38)."""
     suffixes = ["k", "M", "G", "T", "P", "E"]

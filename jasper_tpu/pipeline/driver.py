@@ -528,18 +528,9 @@ def run_pipeline(
         _touch(_marker(workdir, "correct"))
 
     # join (multi-host: shared-FS outputs joined by process 0 only)
-    if proc_count > 1 and proc_id != 0:
-        barrier("join")
-        return {
-            "polished": os.path.join(workdir, f"{query_fn}.polished.fasta"),
-            "fixes": os.path.join(workdir, f"{query_fn}.fixes.csv"),
-            "q_before": "", "q_after": "", "db": jf_db,
-            "batch_size": batch_size,
-        }
-    # join
     polished = os.path.join(workdir, f"{query_fn}.polished.fasta")
     fixes_csv = os.path.join(workdir, f"{query_fn}.fixes.csv")
-    if not os.path.exists(_marker(workdir, "join")):
+    if proc_id == 0 and not os.path.exists(_marker(workdir, "join")):
         log("Joining")
         fixed_paths = [
             os.path.join(workdir, f"_iter{last_it}_{os.path.basename(bp)}.fixed.fa")
@@ -567,18 +558,24 @@ def run_pipeline(
                 ) or re.match(re.escape(query_fn) + r"\.batch\.\d+\.fa$", p):
                     _rm(os.path.join(workdir, p))
     if proc_count > 1:
-        barrier("join")  # release the non-joining hosts
+        barrier("join")  # join done before anyone reads joined outputs
 
-    # QV
+    # QV — every process reads the shared helper CSVs so logs and return
+    # values match the single-host contract (reference src/jasper.sh:234-257
+    # prints QV wherever it runs); process 0 deletes the helpers only after
+    # all processes have read them
     err_b, tot_b = read_qv_helper(os.path.join(workdir, "0qValCalcHelper.csv"))
     err_a, tot_a = read_qv_helper(os.path.join(workdir, f"{passes}qValCalcHelper.csv"))
     q_before = qv_from_tallies(err_b, tot_b, k)
     q_after = qv_from_tallies(err_a, tot_a, k)
     log(f"Before Polishing: Q value = {q_before}")
     log(f"After Polishing: Q value = {q_after}")
-    for p in os.listdir(workdir):
-        if p.endswith("qValCalcHelper.csv"):
-            _rm(os.path.join(workdir, p))
+    if proc_count > 1:
+        barrier("qv")
+    if proc_id == 0:
+        for p in os.listdir(workdir):
+            if p.endswith("qValCalcHelper.csv"):
+                _rm(os.path.join(workdir, p))
     log(f"Polished sequence is in {query_fn}.polished.fasta")
     return {
         "polished": polished,

@@ -429,14 +429,30 @@ def cmd_mem(argv) -> int:
     if (args.size is None) == (args.mem is None):
         p.error("exactly one of -s or --mem is required")
 
-    from jasper_tpu.count.stats import add_suffix, table_mem_bytes, table_size_for_mem
+    from jasper_tpu.count.stats import (
+        add_suffix,
+        jellyfish_mem_bytes,
+        jellyfish_size_for_mem,
+        table_mem_bytes,
+        table_size_for_mem,
+    )
 
+    # two answers, both labeled: this framework's HBM table layout AND the
+    # reference formula (digit-exact port of `jellyfish mem`,
+    # sub_commands/mem_main.cc:41-53) so capacity planning against a real
+    # jellyfish deployment is not silently different
     if args.size is not None:
         val = table_mem_bytes(args.mer_len, args.size)
+        jf = jellyfish_mem_bytes(args.mer_len, args.size)
         print(f"{val} ({add_suffix(val, 1024)})")
+        print(f"jellyfish (CPU reference) would use: {jf} "
+              f"({add_suffix(jf, 1024)})")
     else:
         val = table_size_for_mem(args.mer_len, args.mem)
+        jf = jellyfish_size_for_mem(args.mer_len, args.mem)
         print(f"{val} ({add_suffix(val, 1000)})")
+        print(f"jellyfish (CPU reference) max size: {jf} "
+              f"({add_suffix(jf, 1000)})")
     return 0
 
 

@@ -28,10 +28,11 @@ sys.path.insert(0, os.environ["JASPER_TPU_ROOT"])
 import jax
 jax.config.update("jax_platforms", "cpu")
 from jasper_tpu.pipeline.driver import run_pipeline
-run_pipeline(
+res = run_pipeline(
     assembly=os.environ["ASM"], reads=[os.environ["READS"]],
     k=25, threads=1, passes=1, batch=4000, workdir=os.environ["WD"],
 )
+print("QVRESULT", repr(res["q_before"]), repr(res["q_after"]))
 """
 
 
@@ -90,3 +91,14 @@ def test_two_process_pipeline_matches_single(tmp_path):
     for name in ("asm.fa.polished.fasta", "asm.fa.fixes.csv"):
         with open(wd1 / name, "rb") as f1, open(wd2 / name, "rb") as f2:
             assert f1.read() == f2.read(), name
+
+    # every process must report the same non-empty QV strings (the reference
+    # prints QV wherever it runs, src/jasper.sh:234-257)
+    qvs = set()
+    for out in outs:
+        lines = [ln for ln in out.splitlines() if ln.startswith("QVRESULT")]
+        assert lines, out[-2000:]
+        qvs.add(lines[-1])
+    assert len(qvs) == 1, qvs
+    qv_line = qvs.pop()
+    assert "''" not in qv_line, qv_line

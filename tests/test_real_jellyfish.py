@@ -179,3 +179,26 @@ def test_golden_vs_real_jasper(tmp_path):
     assert set(ref_out) == set(our_out)
     for name in ref_out:
         assert our_out[name] == ref_out[name], f"{name} differs"
+
+
+def test_mem_formula_matches_real_binary():
+    """The ported `jellyfish mem` formula (count/stats.py
+    jellyfish_mem_bytes) is digit-exact vs the real binary across mer
+    lengths, sizes and counter widths, both directions."""
+    from jasper_tpu.count.stats import jellyfish_mem_bytes, jellyfish_size_for_mem
+
+    for m, s, c in [(37, 1000, 7), (37, 10**9, 7), (25, 123456789, 7),
+                    (101, 10**6, 3), (15, 5000, 7), (55, 77777, 5),
+                    (21, 1, 1), (240, 10**7, 7)]:
+        out = subprocess.run(
+            [JF_BIN, "mem", "-m", str(m), "-s", str(s), "-c", str(c)],
+            capture_output=True, text=True, check=True,
+        ).stdout
+        assert int(out.split()[0]) == jellyfish_mem_bytes(m, s, c), (m, s, c)
+
+    for m, mem in [(37, 16 << 30), (25, 1 << 20), (101, 123456789)]:
+        out = subprocess.run(
+            [JF_BIN, "mem", "-m", str(m), "--mem", str(mem)],
+            capture_output=True, text=True, check=True,
+        ).stdout
+        assert int(out.split()[0]) == jellyfish_size_for_mem(m, mem), (m, mem)
