@@ -79,6 +79,40 @@ class CountSource:
             return None
         return self._native.query_substrings(s, starts)
 
+    def count_batch(self, strs) -> dict:
+        """Counts of many length-k strings in ONE native crossing (the BFS
+        frontier batch, see PolishEngine._extend_path); memoized like
+        count(). Falls back to scalar count() per string when the native
+        kernel is unavailable or a string is not length k."""
+        res: dict[str, int] = {}
+        if self._native is None:
+            for s in strs:
+                if s not in res:
+                    res[s] = self.count(s)
+            return res
+        k = self.k
+        miss = []
+        for s in strs:
+            if s in res:
+                continue
+            hit = self._memo.get(s)
+            if hit is not None:
+                res[s] = hit
+            elif len(s) == k:
+                res[s] = -1  # placeholder; dedupes repeats within the batch
+                miss.append(s)
+            else:
+                res[s] = self.count(s)
+        if miss:
+            counts = self._native.query_substrings(
+                "".join(miss), range(0, k * len(miss), k)
+            )
+            for s, c in zip(miss, counts):
+                c = int(c)
+                self._memo[s] = c
+                res[s] = c
+        return res
+
 
 @dataclasses.dataclass
 class FixRecord:
@@ -545,13 +579,31 @@ class PolishEngine:
                 if len(paths) > MAX_PATHS:
                     return None
                 last_path = len(paths)
+                # wide frontiers (branchy repeat regions): ONE batched
+                # lookup for all 4 extension candidates of every live path
+                # in the level (q is pure, so evaluating candidates the
+                # scalar loop would have skipped after an early return
+                # cannot change the answer). Narrow frontiers stay scalar —
+                # the memoized native call beats batch setup below ~16 paths
+                # (measured 1.2x batched on a repeat-soup fixture, 0.8x on
+                # near-linear graphs).
+                if last_path >= 16:
+                    km1s = [(start_km1 + paths[pi])[-k + 1 :]
+                            for pi in range(last_path)]
+                    frontier = self.counts.count_batch(
+                        [km1 + b for km1 in km1s for b in BASES]
+                    ).__getitem__
+                else:
+                    km1s = None
+                    frontier = q
                 for pi in range(last_path):
                     if paths[pi] == "":
                         continue
-                    km1 = (start_km1 + paths[pi])[-k + 1 :]
+                    km1 = (km1s[pi] if km1s is not None
+                           else (start_km1 + paths[pi])[-k + 1 :])
                     n_ext = 0
                     for base in BASES:
-                        if q(km1 + base) < thre:
+                        if frontier(km1 + base) < thre:
                             continue
                         last_bases = km1 + base
                         if i >= MIN_OVERLAP and i >= min_patch_len:

@@ -77,6 +77,15 @@ def inject_errors(genome: str, rng, spec: list[tuple[str, int]] | None = None,
             for dp in (0, 3):
                 old = draft[p + dp]
                 draft[p + dp] = "ACGT"[("ACGT".index(old) + 1 + rng.integers(0, 3)) % 4]
+        elif kind == "gap":
+            # scramble a >=k-wide run: every k-mer across it goes bad
+            # (nb > k), forcing the reference's base_extension BFS patch
+            # (src/jasper.py:527-583)
+            for dp in range(20):
+                old = draft[p + dp]
+                draft[p + dp] = "ACGT"[
+                    ("ACGT".index(old) + 1 + rng.integers(0, 3)) % 4
+                ]
         out.append((kind, pos))
         pos += spacing
     return "".join(draft), out

@@ -119,3 +119,12 @@ def test_golden_dense_errors(tmp_path):
     rolling-threshold paths."""
     _run_case(tmp_path, seed=11, genome_len=6000, k=17, passes=2, n_each=3,
               spacing=150)
+
+
+def test_golden_gap_dense_bfs_patches(tmp_path):
+    """Gap-dense draft: >=k-wide scrambled runs every ~350 bp, each forcing
+    the BFS patcher (reference base_extension, src/jasper.py:527-583) with
+    its batched frontier lookups + pairwise alignment fix records."""
+    _ref, errors = _run_case(tmp_path, seed=12, genome_len=8000, k=17,
+                             passes=2, spec=[("gap", 0)] * 20, spacing=350)
+    assert sum(1 for kind, _ in errors if kind == "gap") >= 15
