@@ -68,6 +68,7 @@ def count_reads(
     min_qual_char: str | None = None,
     key_filter=None,
     on_full=None,
+    mesh=None,
 ):
     """Count k-mers of all reads in `paths`; returns the table.
 
@@ -82,6 +83,11 @@ def count_reads(
     built table (to dump to disk) and counting resumes empty — the
     reference's --disk dump-and-merge mode (count_main.cc:187-192,347-373).
     The caller dumps/merges the returned final table itself.
+
+    mesh: optional 1-axis ("data",) jax Mesh — chunks deal round-robin to
+    its devices, each running its own sorted-run ladder; the final table
+    byte-matches the single-device stream (count/mesh_runs.py). The
+    key_filter path (host-driven) ignores the mesh.
     """
     paths = list(paths)
     total_bytes = total_file_bytes(paths)
@@ -97,6 +103,11 @@ def count_reads(
         cap = 1 << max(14, (max(est, 4 * k) - 1).bit_length())
         chunk_len = min(chunk_len, cap)
     n_windows = chunk_len - k + 1
+    if mesh is not None and key_filter is None and mesh.shape["data"] > 1:
+        return _count_reads_mesh(
+            paths, k, chunk_len, mesh, canonical, min_qual_char, progress,
+            on_full, n_slots,
+        )
     acc = RunAccumulator(unit=max(1 << 14, n_windows // 8),
                          stage_lanes=8 * n_windows)
     occupied = 0
@@ -118,6 +129,50 @@ def count_reads(
         n_chunks += 1
         if progress is not None:
             progress(n_chunks, occupied)
+    return _finish_to_table(acc, k)
+
+
+def _count_reads_mesh(paths, k, chunk_len, mesh, canonical, min_qual_char,
+                      progress, on_full, n_slots):
+    """Data-parallel counting over the mesh's "data" devices: groups of D
+    chunks extract + sort device-local; final fold builds one table
+    (count/mesh_runs.py). Byte-identical to the single-device stream."""
+    import jax
+
+    from jasper_tpu.count.mesh_runs import MeshRunAccumulator
+
+    D = mesh.shape["data"]
+    n_windows = chunk_len - k + 1
+    acc = MeshRunAccumulator(mesh, unit=max(1 << 14, n_windows // 8),
+                             stage_lanes=8 * n_windows)
+    vextract = jax.vmap(lambda c: extract_windows(c, k, canonical))
+    group: list[np.ndarray] = []
+    n_chunks = 0
+
+    def _push_group():
+        nonlocal group
+        batch = np.full((D, chunk_len), 4, dtype=np.uint8)  # CODE_N pad
+        for i, c in enumerate(group):
+            batch[i, : len(c)] = c
+        group = []
+        keys, valid = vextract(jax.device_put(batch, acc.sharding))
+        acc.push_raw(keys, valid)
+
+    for codes, _fill in stream_codes(paths, k, chunk_len, min_qual_char):
+        if on_full is not None and acc.n_resident_lanes() > n_slots:
+            if group:
+                _push_group()
+            on_full(_finish_to_table(acc, k))
+            acc = MeshRunAccumulator(mesh, unit=acc.unit,
+                                     stage_lanes=acc.stage_lanes)
+        group.append(codes)
+        n_chunks += 1
+        if len(group) == D:
+            _push_group()
+        if progress is not None:
+            progress(n_chunks, acc.n_resident_lanes())
+    if group:
+        _push_group()
     return _finish_to_table(acc, k)
 
 

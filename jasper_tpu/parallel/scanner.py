@@ -60,6 +60,10 @@ class ShardedDeviceScanner:
         self.tabs = build_sharded(mesh, jnp.asarray(keys),
                                   jnp.asarray(counts), local_slots)
         self._scan = sharded_scan_fn(mesh, self.k, tile + self.k - 1, divisor)
+        # host-fallback accounting (lanes answered off-device after routing
+        # overflow); tests assert this stays tiny under adversarial skew
+        self.fallback_lanes = 0
+        self.scanned_lanes = 0
 
     def prepare(self, seq: str, solid_thre: int):
         import jax.numpy as jnp
@@ -88,15 +92,19 @@ class ShardedDeviceScanner:
                 self.tabs, jnp.asarray(chunks), thre
             )
             c = np.asarray(c)
+            self.scanned_lanes += min(D * tile, n - pos)
             if int(ovf) > 0:
                 # residual distinct-key routing overflow: answer those lanes
-                # from the host table (exact, rare)
+                # from the host table (exact, rare). np.asarray of a device
+                # array is read-only — copy before patching lanes.
+                c = np.array(c)
                 u = np.asarray(unres)
                 qk = np.asarray(qkeys)
                 for d in range(D):
                     ui = np.flatnonzero(u[d])
                     if len(ui):
                         c[d, ui] = self.host_table.lookup_words(qk[d][ui])
+                        self.fallback_lanes += len(ui)
             for d in range(D):
                 s = pos + d * tile
                 mm = min(tile, max(0, n - s))
@@ -119,6 +127,22 @@ class ShardedDeviceScanner:
         from jasper_tpu.polish.device_engine import ContigScan
 
         return ContigScan(counts, valid, unsafe)
+
+
+def local_data_mesh(num_devices: int | None = None, devices=None):
+    """1-axis ("data",) mesh over this host's local devices for
+    data-parallel counting (count_reads mesh=...); None when only one
+    device is visible (the single-device path needs no mesh)."""
+    import jax
+
+    devices = list(devices if devices is not None else jax.local_devices())
+    if num_devices is not None:
+        devices = devices[: max(1, num_devices)]
+    if len(devices) < 2:
+        return None
+    from jax.sharding import Mesh
+
+    return Mesh(np.array(devices), ("data",))
 
 
 def mesh_for_table(table_bytes: int, num_devices: int,

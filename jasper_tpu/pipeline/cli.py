@@ -43,6 +43,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    from jasper_tpu.utils.jaxenv import honor_env_platform
+
+    honor_env_platform()
     args = build_parser().parse_args(argv)
     from jasper_tpu.pipeline.driver import PipelineError, run_pipeline
 

@@ -444,9 +444,14 @@ def run_pipeline(
         else:
             log(f"Creating jellyfish database {jf_db}")
             from jasper_tpu.count.counter import count_reads
+            from jasper_tpu.parallel.scanner import local_data_mesh
 
             jf_size = total_file_bytes(reads) // 10
-            tab = count_reads(reads, k, hash_size_hint=max(jf_size, 1024))
+            mesh = local_data_mesh(num_devices)
+            if mesh is not None:
+                log(f"Counting data-parallel over {mesh.shape['data']} devices")
+            tab = count_reads(reads, k, hash_size_hint=max(jf_size, 1024),
+                              mesh=mesh)
             host_table = HostKmerTable(k, np.asarray(tab))
             dump_table_to_jf(jf_db, host_table)
             write_histogram(histo_csv, histogram_rows(tab, k))

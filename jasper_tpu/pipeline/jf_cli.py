@@ -160,6 +160,8 @@ def cmd_count(argv) -> int:
         inputs = GeneratorManager(args.generator, args.Generators,
                                   shell=args.shell).streams()
 
+    from jasper_tpu.parallel.scanner import local_data_mesh
+
     tab = count_reads(
         inputs,
         args.mer_len,
@@ -169,6 +171,7 @@ def cmd_count(argv) -> int:
         min_qual_char=args.min_qual_char,
         key_filter=key_filter,
         on_full=dump_intermediate if args.disk else None,
+        mesh=local_data_mesh(),
     )
     t1 = time.time()
 
@@ -510,8 +513,9 @@ COMMANDS = {
 
 
 def main(argv=None) -> int:
-    from jasper_tpu.utils.jaxenv import setup_compilation_cache
+    from jasper_tpu.utils.jaxenv import honor_env_platform, setup_compilation_cache
 
+    honor_env_platform()
     setup_compilation_cache()
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] in ("-h", "--help"):

@@ -37,6 +37,23 @@ def setup_compilation_cache(cache_dir: str | None = None) -> None:
         pass  # never let cache setup break a run
 
 
+def honor_env_platform() -> None:
+    """Mirror JAX_PLATFORMS from the environment into jax.config.
+
+    On TPU-tunnel hosts the site config overrides the env var, so
+    `JAX_PLATFORMS=cpu jasper-tpu ...` would silently run on the tunnel
+    device; jax.config wins over both. Must run before first device use;
+    no-op when the env var is unset."""
+    env = os.environ.get("JAX_PLATFORMS")
+    if env:
+        try:
+            import jax
+
+            jax.config.update("jax_platforms", env)
+        except Exception:
+            pass
+
+
 def force_cpu() -> None:
     """Pin this process to the host CPU backend. Must run before any device
     use. Needed because env JAX_PLATFORMS is overridden by site config on

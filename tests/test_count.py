@@ -124,3 +124,49 @@ def test_histogram_rows_from_table():
 
     freq = collections.Counter(truth.values())
     assert rows == sorted((c, n) for c, n in freq.items())
+
+
+def test_mesh_counting_jf_byte_match(tmp_path):
+    """Multi-chip counting (count_reads mesh=8-virtual-device "data" mesh,
+    count/mesh_runs.py) must produce a table whose .jf dump byte-matches the
+    single-device stream's — VERDICT r2 #2. Small chunk_len forces many
+    chunk groups (including a final partial group with sentinel padding)."""
+    import jax
+    from jax.sharding import Mesh
+
+    from jasper_tpu.io.jf import dump_table_to_jf
+
+    k = 17
+    rng = np.random.default_rng(23)
+    reads = [
+        "".join(rng.choice(list("ACGTN"), p=[0.245, 0.245, 0.245, 0.245, 0.02])
+                for _ in range(rng.integers(40, 180)))
+        for _ in range(300)
+    ]
+    fq = tmp_path / "reads.fq"
+    with open(fq, "w") as f:
+        for i, r in enumerate(reads):
+            f.write(f"@r{i}\n{r}\n+\n{'I' * len(r)}\n")
+
+    tab1 = count_reads([str(fq)], k, chunk_len=2048)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    tab8 = count_reads([str(fq)], k, chunk_len=2048, mesh=mesh)
+
+    p1 = tmp_path / "one.jf"
+    p8 = tmp_path / "eight.jf"
+    dump_table_to_jf(str(p1), HostKmerTable(k, np.asarray(tab1)))
+    dump_table_to_jf(str(p8), HostKmerTable(k, np.asarray(tab8)))
+    # headers may differ in creation time; records must byte-match (the
+    # 9-digit header length prefix locates the record section)
+    def records(p):
+        with open(p, "rb") as f:
+            hlen = int(f.read(9))
+            f.seek(9 + hlen)
+            return f.read()
+
+    rec1 = records(p1)
+    rec8 = records(p8)
+    assert rec1 == rec8
+    assert len(rec1) > 0
+    # and the oracle agrees
+    check_table_matches(tab8, k, oracle_counts(reads, k))
