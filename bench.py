@@ -42,6 +42,30 @@ K = 37
 DEFAULT_BASELINE_LOOKUPS_PER_SEC = 4.03e6  # measured: see bench_baseline.json
 
 
+def _make_reads_file(rng):
+    """COUNT_BASES of 250 bp reads at COUNT_COVERAGE x over a fresh genome,
+    written as FASTA — the production counting workload (duplicate keys
+    collapse in the sorted-run dedupe, unlike the all-distinct genome)."""
+    import tempfile
+
+    LUT = np.frombuffer(b"ACGT", dtype=np.uint8)
+    g = rng.integers(0, 4, size=COUNT_BASES // COUNT_COVERAGE).astype(np.uint8)
+    read_len = 250
+    n_reads = COUNT_BASES // read_len
+    starts = rng.integers(0, len(g) - read_len, size=n_reads)
+    idx = starts[:, None] + np.arange(read_len)[None, :]
+    mat = g[idx]
+    mat[1::2] = 3 - mat[1::2][:, ::-1]  # revcomp odd reads (code space)
+    fd, path = tempfile.mkstemp(suffix=".fa", prefix="bench_reads_")
+    with os.fdopen(fd, "wb") as f:
+        txt = LUT[mat]
+        for j in range(n_reads):
+            f.write(b">r%d\n" % j)
+            f.write(txt[j].tobytes())
+            f.write(b"\n")
+    return path
+
+
 def load_baseline():
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json")
     if os.path.exists(path):
@@ -73,6 +97,11 @@ def main():
         return counts.sum(dtype=jnp.uint32) ^ below.sum(dtype=jnp.uint32)
 
     # --- counting: the scatter-free sorted-run pipeline -----------------
+    # Worst case (all-distinct genome, coverage 1 — every window is a new
+    # key, maximal run growth) AND the production shape (COUNT_BASES of
+    # read bases at COUNT_COVERAGE over a smaller genome, through the real
+    # count_reads file path: parse + encode + count, like `jellyfish
+    # count -C <file>` reference sub_commands/count_main.cc:218-385).
     def count_genome():
         acc = RunAccumulator(unit=max(1 << 14, COUNT_CHUNK // 8),
                              stage_lanes=8 * COUNT_CHUNK)
@@ -95,6 +124,25 @@ def main():
     jax.block_until_ready(tab)
     t_build = time.time() - t0
     count_rate = GENOME_BASES / t_build
+
+    # production-shaped counting: reads file at COUNT_COVERAGE x
+    from jasper_tpu.count.counter import count_reads
+
+    reads_path = _make_reads_file(rng)
+    t0 = time.time()
+    ptab = count_reads([reads_path], K, chunk_len=COUNT_CHUNK)
+    jax.block_until_ready(ptab)
+    t_prod_first = time.time() - t0
+    t0 = time.time()
+    ptab = count_reads([reads_path], K, chunk_len=COUNT_CHUNK)
+    jax.block_until_ready(ptab)
+    t_prod = time.time() - t0
+    del ptab
+    prod_rate = COUNT_BASES / t_prod
+    try:
+        os.remove(reads_path)
+    except OSError:
+        pass
     from jasper_tpu.table.kmer_table import table_capacity
 
     n_slots = table_capacity(tab, K)
@@ -134,7 +182,11 @@ def main():
         "n_keys": n_distinct,
         "build_secs": round(t_build, 2),
         "build_secs_first_incl_compile": round(t_compile_build, 2),
-        "bases_counted_per_sec": round(count_rate),
+        "bases_counted_per_sec": round(prod_rate),
+        "bases_counted_per_sec_all_distinct": round(count_rate),
+        "count_bases": COUNT_BASES,
+        "count_coverage": COUNT_COVERAGE,
+        "count_secs_first_incl_compile": round(t_prod_first, 2),
         "bench_secs": round(dt, 3),
         "tile_windows": TILE,
         "baseline_lookups_per_sec": baseline,
@@ -147,7 +199,8 @@ def main():
                 "value": round(rate),
                 "unit": "lookups/s",
                 "vs_baseline": round(rate / baseline, 3),
-                "bases_counted_per_sec": round(count_rate),
+                "bases_counted_per_sec": round(prod_rate),
+                "bases_counted_per_sec_all_distinct": round(count_rate),
                 "build_secs": round(t_build, 2),
             }
         )
