@@ -114,6 +114,45 @@ def main():
 
     results["cumsum_ms"] = round(timeit(do_cumsum, ops[0]) * 1e3, 2)
 
+    # -- count-table probe designs (BASELINE.md "where the time goes") -----
+    # One bucket row (64 u32 = 256 B) per lane, 16-slot compare, W=3 (k=37).
+    W = 3
+    from jasper_tpu.table.kmer_table import _slot_view, slot_words_for
+
+    sw = slot_words_for(W)
+    slots = 64 // sw
+    tab64 = jnp.asarray(rng.integers(0, 2**31, size=(N_ROWS, 64)).astype(np.uint32))
+    probe_keys = jnp.asarray(rng.integers(0, 2**31, size=(B, W)).astype(np.uint32))
+    probe_home = idx_rand % np.uint32(N_ROWS)
+
+    @jax.jit
+    def probe_xla(tab, home, keys):
+        rows = jnp.take(tab, home, axis=0, mode="clip")
+        skeys, scnt = _slot_view(rows, W, sw, slots)
+        occ = scnt != 0
+        key_eq = jnp.all(skeys == keys[:, None, :], axis=-1) & occ
+        cnt = jnp.sum(jnp.where(key_eq, scnt, 0), axis=1).astype(jnp.uint32)
+        flags = jnp.any(key_eq, axis=1) | (jnp.any(~occ, axis=1) << 1)
+        return cnt.sum(dtype=jnp.uint32) + flags.astype(jnp.uint32).sum(dtype=jnp.uint32)
+
+    results["probe_xla_ms"] = round(timeit(probe_xla, tab64, probe_home, probe_keys) * 1e3, 2)
+
+    try:
+        from jasper_tpu.table import pallas_probe
+
+        for G in (8, 16, 32, 64):
+            @jax.jit
+            def probe_pl(tab, home, keys, G=G):
+                cnt, hit, has_empty = pallas_probe.probe_rows(tab, home, keys, G=G)
+                return (cnt.sum(dtype=jnp.uint32)
+                        + hit.astype(jnp.uint32).sum(dtype=jnp.uint32)
+                        + has_empty.astype(jnp.uint32).sum(dtype=jnp.uint32))
+
+            dt = timeit(probe_pl, tab64, probe_home, probe_keys)
+            results[f"probe_pallas_g{G}_ms"] = round(dt * 1e3, 2)
+    except Exception as e:  # record the failure, don't hide it
+        results["probe_pallas_error"] = f"{type(e).__name__}: {e}"[:300]
+
     print(json.dumps(results, indent=1))
 
 
