@@ -52,12 +52,23 @@ _DROP = np.uint32(0x7FFFFFFF)  # out-of-range index; scatters use mode="drop"
 
 
 def slot_words_for(W: int) -> int:
+    """Words per slot: smallest power-of-two > W (key words + count word).
+
+    Wide mers degrade gracefully: W <= 31 packs 2 slots/bucket, W <= 63 one
+    slot/bucket (bucket-linear probing then degenerates to plain linear
+    probing, still bounded by PAD_BUCKETS). The reference's multi-word mers
+    are unbounded (jf:include/jellyfish/mer_dna.hpp:626-667); k <= 1008
+    covers every practical counting k at 4 B/word table cost."""
     if W <= 3:
         return 4
     if W <= 7:
         return 8
-    assert W <= 15, "k too large (max 240)"
-    return 16
+    if W <= 15:
+        return 16
+    if W <= 31:
+        return 32
+    assert W <= 63, "k too large (max 1008)"
+    return 64
 
 
 def _layout(tab, keys):

@@ -170,3 +170,40 @@ def test_mesh_counting_jf_byte_match(tmp_path):
     assert len(rec1) > 0
     # and the oracle agrees
     check_table_matches(tab8, k, oracle_counts(reads, k))
+
+
+@pytest.mark.parametrize("k", [301, 520])  # W=19 (sw=32) and W=33 (sw=64)
+def test_count_wide_k_beyond_240(k, tmp_path):
+    """k > 240 (reference multi-word mers are unbounded,
+    jf:include/jellyfish/mer_dna.hpp:626-667): the full cycle — count,
+    host-table items, string queries through CountSource (whose native
+    kernel must refuse W > 15 and fall back), and .jf round-trip."""
+    rng = np.random.default_rng(k)
+    seqs = [
+        "".join(rng.choice(list("ACGT")) for _ in range(rng.integers(k, k + 80)))
+        for _ in range(6)
+    ]
+    seqs.append(seqs[0])  # duplicate => counts of 2
+    tab = count_sequences(seqs, k, n_slots=1 << 10)
+    truth = oracle_counts(seqs, k)
+    check_table_matches(tab, k, truth)
+
+    host = HostKmerTable(k, np.asarray(tab))
+    from jasper_tpu.polish.engine import CountSource
+
+    src = CountSource(host)
+    assert src._native is None  # jt_table.cc MAX_W=15: must not be used
+    some = list(truth.items())[:5]
+    for mer, cnt in some:
+        assert src.count(mer) == cnt
+    assert src.count("A" * k) == truth.get("A" * k, 0)
+
+    from jasper_tpu.io.jf import dump_table_to_jf, load_jf_into_host_table
+
+    p = str(tmp_path / "wide.jf")
+    dump_table_to_jf(p, host)
+    host2, header = load_jf_into_host_table(p)
+    keys, counts = host.items()
+    keys2, counts2 = host2.items()
+    assert np.array_equal(np.sort(counts), np.sort(counts2))
+    assert host2.k == k
