@@ -69,6 +69,7 @@ def count_reads(
     key_filter=None,
     on_full=None,
     mesh=None,
+    return_run: bool = False,
 ):
     """Count k-mers of all reads in `paths`; returns the table.
 
@@ -88,6 +89,13 @@ def count_reads(
     its devices, each running its own sorted-run ladder; the final table
     byte-matches the single-device stream (count/mesh_runs.py). The
     key_filter path (host-driven) ignores the mesh.
+
+    return_run=True additionally returns the final compacted run
+    (h, keys, counts, n_active device arrays, sorted by (mix32, key),
+    actives first) so callers can pull the ~12 B/record distinct set
+    instead of the ~40 B/record built table — the device->host link is the
+    pipeline's scarcest resource (BASELINE.md "tunnel d2h"). Returns
+    (tab, run); run is None for empty inputs.
     """
     paths = list(paths)
     total_bytes = total_file_bytes(paths)
@@ -106,7 +114,7 @@ def count_reads(
     if mesh is not None and key_filter is None and mesh.shape["data"] > 1:
         return _count_reads_mesh(
             paths, k, chunk_len, mesh, canonical, min_qual_char, progress,
-            on_full, n_slots,
+            on_full, n_slots, return_run,
         )
     acc = RunAccumulator(unit=max(1 << 14, n_windows // 8),
                          stage_lanes=8 * n_windows)
@@ -129,11 +137,11 @@ def count_reads(
         n_chunks += 1
         if progress is not None:
             progress(n_chunks, occupied)
-    return _finish_to_table(acc, k)
+    return _finish_to_table(acc, k, return_run)
 
 
 def _count_reads_mesh(paths, k, chunk_len, mesh, canonical, min_qual_char,
-                      progress, on_full, n_slots):
+                      progress, on_full, n_slots, return_run=False):
     """Data-parallel counting over the mesh's "data" devices: groups of D
     chunks extract + sort device-local; final fold builds one table
     (count/mesh_runs.py). Byte-identical to the single-device stream."""
@@ -173,14 +181,49 @@ def _count_reads_mesh(paths, k, chunk_len, mesh, canonical, min_qual_char,
             progress(n_chunks, acc.n_resident_lanes())
     if group:
         _push_group()
-    return _finish_to_table(acc, k)
+    return _finish_to_table(acc, k, return_run)
 
 
-def _finish_to_table(acc: RunAccumulator, k: int):
+def _finish_to_table(acc, k: int, return_run: bool = False):
     run = acc.finish()
     if run is None:
-        return empty_table(k, 64)
-    return build_table(run, k)
+        tab = empty_table(k, 64)
+        return (tab, None) if return_run else tab
+    tab = build_table(run, k)
+    return (tab, run) if return_run else tab
+
+
+def pull_run_records(run):
+    """Device run -> host (keys uint32 [N, W], counts uint32 [N]).
+
+    Moves the minimum bytes over the device->host link: keys at 4W B/record
+    and counts as uint8 with a tiny escape list for counts >= 255 (at
+    coverage-scale inputs >99% of distinct k-mers are error singletons or
+    near the mean coverage). Record order is the run order — sorted by
+    (mix32(key), key), actives first — the exact precondition of
+    HostKmerTable.from_sorted_run.
+    """
+    import jax
+
+    h, keys, counts, n_active = run
+    n = int(n_active)
+    if n == 0:
+        W = keys.shape[1]
+        return np.zeros((0, W), np.uint32), np.zeros(0, np.uint32)
+    keys_np = np.asarray(jax.device_get(keys[:n]))
+    c_dev = counts[:n]
+    c8 = np.asarray(jnp.minimum(c_dev, 255).astype(jnp.uint8))
+    counts_np = c8.astype(np.uint32)
+    n_esc = int(jnp.sum((c_dev >= 255).astype(jnp.uint32)))
+    if n_esc:
+        cap = 1 << (int(n_esc) - 1).bit_length()
+        idx = jnp.nonzero(c_dev >= jnp.uint32(255), size=cap, fill_value=n)[0]
+        vals = jnp.where(idx < n, c_dev[jnp.minimum(idx, n - 1)], 0)
+        idx_np = np.asarray(idx)
+        vals_np = np.asarray(vals)
+        m = idx_np < n
+        counts_np[idx_np[m]] = vals_np[m]
+    return keys_np, counts_np
 
 
 def count_sequences(seqs: Iterable[str], k: int, n_slots: int = 1 << 16):

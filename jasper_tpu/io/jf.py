@@ -78,30 +78,21 @@ def read_jf(path: str):
     return k, keys, counts, header
 
 
-def _sort_records(pos, keys, counts, W: int, device_min: int = 1 << 20):
-    """(pos, keys) sort of dump records; device lax.sort above device_min."""
-    n = keys.shape[0]
-    counts_arr = np.asarray(counts)
-    fits_u32 = n == 0 or int(counts_arr.max()) <= 0xFFFFFFFF
-    if n >= device_min and fits_u32:
-        try:
-            import jax
-            import jax.numpy as jnp
+def _radix_lexsort(cols_lsd):
+    """Stable multi-key argsort, least-significant column first. numpy's
+    kind="stable" argsort is radix for integer dtypes (0.4 s for 55M u32 on
+    this host), where np.lexsort's per-column mergesorts took 63 s and the
+    old device lax.sort detour moved the whole record set back over the
+    ~25 MB/s tunnel d2h link (BASELINE.md)."""
+    order = np.argsort(cols_lsd[0], kind="stable")
+    for c in cols_lsd[1:]:
+        order = order[np.argsort(c[order], kind="stable")]
+    return order
 
-            ops = (
-                (jnp.asarray(pos),)
-                + tuple(jnp.asarray(keys[:, W - 1 - j]) for j in range(W))
-                + (jnp.asarray(np.asarray(counts, dtype=np.uint32)),)
-            )
-            s = jax.lax.sort(ops, num_keys=W + 1)
-            skeys = np.stack(
-                [np.asarray(s[1 + W - 1 - j]) for j in range(W)], axis=-1
-            )
-            return skeys, np.asarray(s[W + 1]).astype(np.uint64)
-        except Exception:
-            pass
-    order_cols = [keys[:, j] for j in range(W)] + [pos]
-    order = np.lexsort(order_cols)
+
+def _sort_records(pos, keys, counts, W: int):
+    """(pos, key) sort of dump records, host-side radix."""
+    order = _radix_lexsort([keys[:, j] for j in range(W)] + [pos])
     return keys[order], np.asarray(counts, dtype=np.uint64)[order]
 
 
@@ -279,13 +270,19 @@ def read_any_jf(path: str):
 
 
 def load_jf_into_host_table(path: str, load_factor: float = 0.6):
-    """.jf -> HostKmerTable (bulk vectorized build)."""
+    """.jf -> HostKmerTable (radix sort to hash order + cummax waterfall;
+    records in a .jf are distinct, so the sorted-run build applies)."""
+    from jasper_tpu.ops.hashing import hash_words_np
     from jasper_tpu.table.host_table import HostKmerTable
-    from jasper_tpu.table.kmer_table import slots_for
 
     k, keys, counts, header = read_any_jf(path)
-    tab = HostKmerTable.empty(k, slots_for(len(keys), load_factor))
-    tab.insert_np(keys, np.minimum(counts, 0xFFFFFFFF).astype(np.uint32))
+    counts32 = np.minimum(counts, 0xFFFFFFFF).astype(np.uint32)
+    W = keys.shape[1]
+    h = hash_words_np(keys)
+    order = _radix_lexsort([keys[:, j] for j in range(W)] + [h])
+    tab = HostKmerTable.from_sorted_run(
+        k, np.ascontiguousarray(keys[order]), counts32[order], load_factor
+    )
     return tab, header
 
 

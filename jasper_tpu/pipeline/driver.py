@@ -373,7 +373,7 @@ def run_pipeline(
         write_histogram,
     )
     from jasper_tpu.io.fastx import read_fasta, total_file_bytes
-    from jasper_tpu.io.jf import dump_table_to_jf, load_jf_into_host_table
+    from jasper_tpu.io.jf import load_jf_into_host_table, write_jf
     from jasper_tpu.polish.engine import CountSource
     from jasper_tpu.polish.runner import polish_file
     from jasper_tpu.table import HostKmerTable
@@ -450,12 +450,26 @@ def run_pipeline(
             mesh = local_data_mesh(num_devices)
             if mesh is not None:
                 log(f"Counting data-parallel over {mesh.shape['data']} devices")
-            tab = count_reads(reads, k, hash_size_hint=max(jf_size, 1024),
-                              mesh=mesh)
-            host_table = HostKmerTable(k, np.asarray(tab))
-            dump_table_to_jf(jf_db, host_table)
+            tab, run = count_reads(reads, k, hash_size_hint=max(jf_size, 1024),
+                                   mesh=mesh, return_run=True)
             write_histogram(histo_csv, histogram_rows(tab, k))
             del tab
+            # pull the ~12 B/record compacted run — NOT the ~40 B/record
+            # table — over the slow tunnel d2h link, then derive the host
+            # table (cummax waterfall, no sort needed: the run is already in
+            # (mix32, key) order) and the .jf artifact from that one pull
+            if run is None:
+                host_table = HostKmerTable.empty(k, 64)
+                rkeys = np.zeros((0, host_table.W), np.uint32)
+                rcounts = np.zeros(0, np.uint32)
+            else:
+                from jasper_tpu.count.counter import pull_run_records
+
+                rkeys, rcounts = pull_run_records(run)
+                del run
+                host_table = HostKmerTable.from_sorted_run(k, rkeys, rcounts)
+            write_jf(jf_db, k, rkeys, rcounts.astype(np.uint64))
+            del rkeys, rcounts
             _touch(_marker(workdir, "no_cat"))
             _touch(_marker(workdir, "histo"))
         if proc_id == 0:

@@ -162,7 +162,7 @@ def cmd_count(argv) -> int:
 
     from jasper_tpu.parallel.scanner import local_data_mesh
 
-    tab = count_reads(
+    tab, run = count_reads(
         inputs,
         args.mer_len,
         n_slots=slots_for(max(args.size, 1 << 22), 0.8) if args.disk
@@ -172,10 +172,10 @@ def cmd_count(argv) -> int:
         key_filter=key_filter,
         on_full=dump_intermediate if args.disk else None,
         mesh=local_data_mesh(),
+        return_run=True,
     )
     t1 = time.time()
 
-    host = HostKmerTable(args.mer_len, np.asarray(tab))
     if intermediates:
         # merge intermediates + the final in-memory table (SUM)
         from jasper_tpu.count.merge import merge_jf_files
@@ -200,8 +200,17 @@ def cmd_count(argv) -> int:
             with open(args.timing, "w") as f:
                 f.write(f"Counting {t1 - t0:.5g}\nWriting {time.time() - t1:.5g}\n")
         return 0
-    keys, counts = host.items()
-    counts = counts.astype(np.uint64)
+    # pull the compacted run (~12 B/record), not the built table — the
+    # tunnel d2h link is the bottleneck (BASELINE.md)
+    from jasper_tpu.count.counter import pull_run_records
+
+    if run is None:
+        W = (2 * args.mer_len + 31) // 32
+        keys = np.zeros((0, W), np.uint32)
+        counts = np.zeros(0, np.uint64)
+    else:
+        keys, counts32 = pull_run_records(run)
+        counts = counts32.astype(np.uint64)
     if args.lower_count is not None:
         keep = counts >= args.lower_count
         keys, counts = keys[keep], counts[keep]

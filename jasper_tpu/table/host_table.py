@@ -39,6 +39,43 @@ class HostKmerTable:
         assert n_buckets & (n_buckets - 1) == 0
         return cls(k, np.zeros((n_buckets + PAD_BUCKETS, ROW_U32), dtype=np.uint32))
 
+    @classmethod
+    def from_sorted_run(cls, k: int, keys: np.ndarray, counts: np.ndarray,
+                        load_factor: float = 0.6) -> "HostKmerTable":
+        """Numpy twin of table.build.build_from_run: one cummax waterfall
+        places a DISTINCT key stream already sorted by (mix32(key), key)
+        ascending — the order count.counter.pull_run_records delivers.
+        Produces the same layout as mirroring the device-built table, at
+        ~12 B/record of device->host traffic instead of the full table
+        (the d2h link is ~25 MB/s through the TPU tunnel, BASELINE.md)."""
+        from jasper_tpu.table.kmer_table import slots_for
+
+        W = words_per_kmer(k)
+        sw = slot_words_for(W)
+        S = ROW_U32 // sw
+        N = keys.shape[0]
+        counts = np.asarray(counts, dtype=np.uint32)
+        h = hash_words_np(np.ascontiguousarray(keys, dtype=np.uint32))
+        n_slots = slots_for(max(N, 1), load_factor)
+        rank = np.arange(N, dtype=np.int64)
+        while True:
+            n_buckets = max(1, n_slots // S)
+            home = home_of(np, h, n_buckets).astype(np.int64)
+            slot = rank + np.maximum.accumulate(home * S - rank) if N else rank
+            total_slots = (n_buckets + PAD_BUCKETS) * S
+            if N == 0 or (
+                int(slot[-1]) < total_slots
+                and int(np.max(slot // S - home)) <= PAD_BUCKETS
+            ):
+                break
+            n_slots *= 2
+        flat = np.zeros(total_slots * sw, dtype=np.uint32)
+        base = slot * sw
+        for w in range(W):
+            flat[base + w] = keys[:, w]
+        flat[base + (sw - 1)] = counts
+        return cls(k, flat.reshape(n_buckets + PAD_BUCKETS, ROW_U32))
+
     def insert_np(self, keys: np.ndarray, counts: np.ndarray) -> None:
         """Vectorized host insert (bucket-granular claim rounds, same
         algorithm as the device build). keys uint32 [B, W], counts uint32

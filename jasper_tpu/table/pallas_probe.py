@@ -41,7 +41,7 @@ def _probe_kernel(G: int, W: int, sw: int, slots: int):
     def kernel(home_smem, keys_ref, *refs):
         rows_refs = refs[:G]
         cnt_ref, flag_ref = refs[G], refs[G + 1]
-        rows = jnp.concatenate([r[:] for r in rows_refs], axis=0)  # [G, 64]
+        rows = jnp.concatenate([r[0] for r in rows_refs], axis=0)  # [G, 64]
         keys = keys_ref[:]  # [G, W]
         cnt = jnp.zeros((G, 1), jnp.uint32)
         hit = jnp.zeros((G, 1), jnp.uint32)
@@ -75,7 +75,7 @@ def _probe_call(tab, home, keys, *, W: int, G: int, interpret: bool = False):
 
     def row_map_for(j):
         def row_map(i, home_ref):
-            return (home_ref[i * G + j], 0)
+            return (home_ref[i * G + j], 0, 0)
 
         return row_map
 
@@ -88,7 +88,11 @@ def _probe_call(tab, home, keys, *, W: int, G: int, interpret: bool = False):
         in_specs=[
             pl.BlockSpec((G, W), key_map, memory_space=pltpu.VMEM),
             *[
-                pl.BlockSpec((1, ROW_U32), row_map_for(j), memory_space=pltpu.VMEM)
+                # Mosaic wants the last two block dims (8,128)-divisible or
+                # equal to the array dims, so scattered single rows travel
+                # as (1, 1, 64) blocks of the [R, 1, 64] table view
+                pl.BlockSpec((1, 1, ROW_U32), row_map_for(j),
+                             memory_space=pltpu.VMEM)
                 for j in range(G)
             ],
         ],
@@ -97,6 +101,7 @@ def _probe_call(tab, home, keys, *, W: int, G: int, interpret: bool = False):
             pl.BlockSpec((G, 1), out_map, memory_space=pltpu.VMEM),
         ],
     )
+    tab3 = tab.reshape(tab.shape[0], 1, ROW_U32)
     cnt, flags = pl.pallas_call(
         _probe_kernel(G, W, sw, slots),
         grid_spec=grid_spec,
@@ -105,7 +110,7 @@ def _probe_call(tab, home, keys, *, W: int, G: int, interpret: bool = False):
             jax.ShapeDtypeStruct((B, 1), jnp.uint32),
         ],
         interpret=interpret,
-    )(home.astype(jnp.int32), keys, *([tab] * G))
+    )(home.astype(jnp.int32), keys, *([tab3] * G))
     return cnt[:, 0], flags[:, 0]
 
 
