@@ -193,7 +193,7 @@ def _finish_to_table(acc, k: int, return_run: bool = False):
     return (tab, run) if return_run else tab
 
 
-def pull_run_records(run):
+def pull_run_records(run, slice_lanes: int = 1 << 23, consumer=None):
     """Device run -> host (keys uint32 [N, W], counts uint32 [N]).
 
     Moves the minimum bytes over the device->host link: keys at 4W B/record
@@ -202,27 +202,63 @@ def pull_run_records(run):
     near the mean coverage). Record order is the run order — sorted by
     (mix32(key), key), actives first — the exact precondition of
     HostKmerTable.from_sorted_run.
+
+    The pull streams in slice_lanes slices with the NEXT slice's
+    device->host copy in flight while the previous one lands, and calls
+    ``consumer(keys_slice, counts_slice)`` per slice so host-side work
+    (hashing + waterfall placement) overlaps the transfer — the link runs
+    ~25 MB/s while the host CPU is otherwise idle (BASELINE.md).
     """
     import jax
 
     h, keys, counts, n_active = run
     n = int(n_active)
+    W = keys.shape[1]
     if n == 0:
-        W = keys.shape[1]
         return np.zeros((0, W), np.uint32), np.zeros(0, np.uint32)
-    keys_np = np.asarray(jax.device_get(keys[:n]))
-    c_dev = counts[:n]
-    c8 = np.asarray(jnp.minimum(c_dev, 255).astype(jnp.uint8))
-    counts_np = c8.astype(np.uint32)
-    n_esc = int(jnp.sum((c_dev >= 255).astype(jnp.uint32)))
+    c8_dev = jnp.minimum(counts[:n], 255).astype(jnp.uint8)
+    # escapes first (counts >= 255, rare): their exact values patch each
+    # landed slice BEFORE the consumer sees it
+    n_esc = int(jnp.sum((counts[:n] >= jnp.uint32(255)).astype(jnp.uint32)))
+    esc_idx = np.zeros(0, np.int64)
+    esc_val = np.zeros(0, np.uint32)
     if n_esc:
         cap = 1 << (int(n_esc) - 1).bit_length()
-        idx = jnp.nonzero(c_dev >= jnp.uint32(255), size=cap, fill_value=n)[0]
-        vals = jnp.where(idx < n, c_dev[jnp.minimum(idx, n - 1)], 0)
-        idx_np = np.asarray(idx)
-        vals_np = np.asarray(vals)
+        idx = jnp.nonzero(counts[:n] >= jnp.uint32(255), size=cap,
+                          fill_value=n)[0]
+        vals = jnp.where(idx < n, counts[jnp.minimum(idx, n - 1)], 0)
+        idx_np = np.asarray(idx).astype(np.int64)
         m = idx_np < n
-        counts_np[idx_np[m]] = vals_np[m]
+        esc_idx, esc_val = idx_np[m], np.asarray(vals)[m]
+
+    starts = list(range(0, n, slice_lanes))
+    pairs = []
+    for s in starts[:2]:
+        e = min(s + slice_lanes, n)
+        pair = (keys[s:e], c8_dev[s:e])
+        for a in pair:
+            a.copy_to_host_async()
+        pairs.append(pair)
+    keys_np = np.empty((n, W), np.uint32)
+    counts_np = np.empty(n, np.uint32)
+    for i, s in enumerate(starts):
+        if i + 2 < len(starts):
+            s2 = starts[i + 2]
+            e2 = min(s2 + slice_lanes, n)
+            nxt = (keys[s2:e2], c8_dev[s2:e2])
+            for a in nxt:
+                a.copy_to_host_async()
+            pairs.append(nxt)
+        kd, cd = pairs[i]
+        e = min(s + slice_lanes, n)
+        keys_np[s:e] = np.asarray(kd)
+        counts_np[s:e] = np.asarray(cd)
+        pairs[i] = None  # free device refs
+        lo = np.searchsorted(esc_idx, s)
+        hi = np.searchsorted(esc_idx, e)
+        counts_np[esc_idx[lo:hi]] = esc_val[lo:hi]
+        if consumer is not None:
+            consumer(keys_np[s:e], counts_np[s:e])
     return keys_np, counts_np
 
 

@@ -422,6 +422,7 @@ def run_pipeline(
     # database
     histo_csv = os.path.join(workdir, f"jfhisto{k}.csv")
     host_table = None
+    db_writer = None  # background .jf artifact writer (joined before return)
     if jf_db is None:
         if not reads:
             raise PipelineError(
@@ -455,20 +456,51 @@ def run_pipeline(
             write_histogram(histo_csv, histogram_rows(tab, k))
             del tab
             # pull the ~12 B/record compacted run — NOT the ~40 B/record
-            # table — over the slow tunnel d2h link, then derive the host
-            # table (cummax waterfall, no sort needed: the run is already in
-            # (mix32, key) order) and the .jf artifact from that one pull
+            # table — over the slow tunnel d2h link; host-table placement
+            # (cummax waterfall, no sort needed: the run is already in
+            # (mix32, key) order) overlaps the transfer slice by slice
             if run is None:
                 host_table = HostKmerTable.empty(k, 64)
                 rkeys = np.zeros((0, host_table.W), np.uint32)
                 rcounts = np.zeros(0, np.uint32)
             else:
                 from jasper_tpu.count.counter import pull_run_records
+                from jasper_tpu.table.host_table import TableOverflow
 
-                rkeys, rcounts = pull_run_records(run)
+                n_rec = int(run[3])
+                builder = HostKmerTable.builder(k, n_rec)
+
+                def _consume(ks, cs):
+                    nonlocal builder
+                    if builder is not None:
+                        try:
+                            builder.push(ks, cs)
+                        except TableOverflow:
+                            builder = None  # rebuild below from full arrays
+
+                rkeys, rcounts = pull_run_records(run, consumer=_consume)
                 del run
-                host_table = HostKmerTable.from_sorted_run(k, rkeys, rcounts)
-            write_jf(jf_db, k, rkeys, rcounts.astype(np.uint64))
+                host_table = (
+                    builder.finish() if builder is not None
+                    else HostKmerTable.from_sorted_run(k, rkeys, rcounts)
+                )
+            # the in-process polish stage reads the in-memory table; the .jf
+            # artifact writes in the background (tmp+rename keeps a crashed
+            # run restartable) and is joined before the pipeline returns.
+            # Multi-host writes synchronously: peers load it right after the
+            # "db" barrier off the shared FS.
+            def _write_db(path=jf_db, kk=k, ks=rkeys, cs=rcounts):
+                tmp = path + ".tmp"
+                write_jf(tmp, kk, ks, cs.astype(np.uint64))
+                os.replace(tmp, path)
+
+            if proc_count > 1:
+                _write_db()
+            else:
+                import threading
+
+                db_writer = threading.Thread(target=_write_db, name="jf-write")
+                db_writer.start()
             del rkeys, rcounts
             _touch(_marker(workdir, "no_cat"))
             _touch(_marker(workdir, "histo"))
@@ -595,6 +627,8 @@ def run_pipeline(
         for p in os.listdir(workdir):
             if p.endswith("qValCalcHelper.csv"):
                 _rm(os.path.join(workdir, p))
+    if db_writer is not None:
+        db_writer.join()
     log(f"Polished sequence is in {query_fn}.polished.fasta")
     return {
         "polished": polished,

@@ -40,6 +40,15 @@ class HostKmerTable:
         return cls(k, np.zeros((n_buckets + PAD_BUCKETS, ROW_U32), dtype=np.uint32))
 
     @classmethod
+    def builder(cls, k: int, n_total: int,
+                load_factor: float = 0.6) -> "SortedRunTableBuilder":
+        """Incremental from_sorted_run: push (mix32,key)-ordered record
+        slices as they land from the device so placement overlaps the
+        d2h transfer. Raises TableOverflow if n_total undersized the table
+        (rare; redo with from_sorted_run on the full arrays)."""
+        return SortedRunTableBuilder(cls, k, n_total, load_factor)
+
+    @classmethod
     def from_sorted_run(cls, k: int, keys: np.ndarray, counts: np.ndarray,
                         load_factor: float = 0.6) -> "HostKmerTable":
         """Numpy twin of table.build.build_from_run: one cummax waterfall
@@ -218,3 +227,56 @@ class HostKmerTable:
         flat = self.tab.reshape(-1, sw)
         occ = flat[:, sw - 1] != 0
         return flat[occ][:, : self.W], flat[occ][:, sw - 1]
+
+
+class TableOverflow(RuntimeError):
+    """A sorted-run record landed past PAD_BUCKETS of its home bucket; the
+    caller retries with a bigger table (from_sorted_run grows itself)."""
+
+
+class SortedRunTableBuilder:
+    """Streaming cummax waterfall (HostKmerTable.from_sorted_run, one slice
+    at a time). The prefix max carries across slices, so pushing slices in
+    run order is bit-identical to the one-shot build."""
+
+    def __init__(self, cls, k: int, n_total: int, load_factor: float):
+        from jasper_tpu.table.kmer_table import slots_for
+
+        self._cls = cls
+        self.k = k
+        self.W = words_per_kmer(k)
+        self.sw = slot_words_for(self.W)
+        self.S = ROW_U32 // self.sw
+        n_slots = slots_for(max(n_total, 1), load_factor)
+        self.n_buckets = max(1, n_slots // self.S)
+        self.total_slots = (self.n_buckets + PAD_BUCKETS) * self.S
+        self.flat = np.zeros(self.total_slots * self.sw, dtype=np.uint32)
+        self._carry = np.int64(np.iinfo(np.int64).min)
+        self._rank0 = 0
+
+    def push(self, keys: np.ndarray, counts: np.ndarray) -> None:
+        n = keys.shape[0]
+        if n == 0:
+            return
+        h = hash_words_np(np.ascontiguousarray(keys, dtype=np.uint32))
+        home = home_of(np, h, self.n_buckets).astype(np.int64)
+        rank = np.arange(self._rank0, self._rank0 + n, dtype=np.int64)
+        des = home * self.S - rank
+        pref = np.maximum(np.maximum.accumulate(des), self._carry)
+        slot = rank + pref
+        if int(slot[-1]) >= self.total_slots or int(
+            np.max(slot // self.S - home)
+        ) > PAD_BUCKETS:
+            raise TableOverflow
+        base = slot * self.sw
+        for w in range(self.W):
+            self.flat[base + w] = keys[:, w]
+        self.flat[base + (self.sw - 1)] = np.asarray(counts, dtype=np.uint32)
+        self._carry = pref[-1]
+        self._rank0 += n
+
+    def finish(self):
+        return self._cls(
+            self.k,
+            self.flat.reshape(self.n_buckets + PAD_BUCKETS, ROW_U32),
+        )
