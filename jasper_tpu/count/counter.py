@@ -233,32 +233,32 @@ def pull_run_records(run, slice_lanes: int = 1 << 23, consumer=None):
 
     starts = list(range(0, n, slice_lanes))
     pairs = []
-    for s in starts[:2]:
+
+    def _slice(s):
         e = min(s + slice_lanes, n)
-        pair = (keys[s:e], c8_dev[s:e])
-        for a in pair:
+        tup = (keys[s:e], c8_dev[s:e], h[s:e])
+        for a in tup:
             a.copy_to_host_async()
-        pairs.append(pair)
+        return tup
+
+    for s in starts[:2]:
+        pairs.append(_slice(s))
     keys_np = np.empty((n, W), np.uint32)
     counts_np = np.empty(n, np.uint32)
     for i, s in enumerate(starts):
         if i + 2 < len(starts):
-            s2 = starts[i + 2]
-            e2 = min(s2 + slice_lanes, n)
-            nxt = (keys[s2:e2], c8_dev[s2:e2])
-            for a in nxt:
-                a.copy_to_host_async()
-            pairs.append(nxt)
-        kd, cd = pairs[i]
+            pairs.append(_slice(starts[i + 2]))
+        kd, cd, hd = pairs[i]
         e = min(s + slice_lanes, n)
         keys_np[s:e] = np.asarray(kd)
         counts_np[s:e] = np.asarray(cd)
+        h_np = np.asarray(hd)
         pairs[i] = None  # free device refs
         lo = np.searchsorted(esc_idx, s)
         hi = np.searchsorted(esc_idx, e)
         counts_np[esc_idx[lo:hi]] = esc_val[lo:hi]
         if consumer is not None:
-            consumer(keys_np[s:e], counts_np[s:e])
+            consumer(keys_np[s:e], counts_np[s:e], h_np)
     return keys_np, counts_np
 
 

@@ -470,11 +470,11 @@ def run_pipeline(
                 n_rec = int(run[3])
                 builder = HostKmerTable.builder(k, n_rec)
 
-                def _consume(ks, cs):
+                def _consume(ks, cs, hs):
                     nonlocal builder
                     if builder is not None:
                         try:
-                            builder.push(ks, cs)
+                            builder.push(ks, cs, hs)
                         except TableOverflow:
                             builder = None  # rebuild below from full arrays
 

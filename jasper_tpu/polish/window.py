@@ -49,6 +49,39 @@ def scan_window(tab, codes, solid_threshold, k: int, divisor: int = 50):
     return counts, below, reldrop
 
 
+def _pack_bits(x):
+    """bool [n] (n % 8 == 0) -> uint8 [n//8], little bit order (host side
+    unpacks with np.unpackbits(..., bitorder="little"))."""
+    n = x.shape[0]
+    b = x.astype(jnp.uint8).reshape(n // 8, 8)
+    w = (jnp.uint8(1) << jnp.arange(8, dtype=jnp.uint8))[None, :]
+    return jnp.sum(b * w, axis=1).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "divisor", "esc_cap"))
+def scan_window_packed(tab, codes, solid_threshold, k: int, divisor: int = 50,
+                       esc_cap: int = 8192):
+    """scan_window with link-miserly outputs: counts as uint16 plus an
+    escape list for the rare > 65535 counts, and the two flag vectors as
+    packed bits — 2.25 B/position over the wire instead of 6. The tunnel's
+    device->host link (~25 MB/s, BASELINE.md) made the pull, not the scan,
+    the polish stage's dominant cost. Requires (L-k+1) % 8 == 0 (the tiled
+    caller always scans full power-of-two tiles).
+
+    Returns (c16, below_bits, rel_bits, esc_idx, esc_val, n_esc); if
+    n_esc > esc_cap the caller must re-pull exact counts via scan_window.
+    """
+    counts, below, rel = scan_window(tab, codes, solid_threshold, k, divisor)
+    n = counts.shape[0]
+    c16 = jnp.minimum(counts, jnp.uint32(0xFFFF)).astype(jnp.uint16)
+    over = counts > jnp.uint32(0xFFFF)
+    n_esc = jnp.sum(over.astype(jnp.uint32))
+    eidx = jnp.nonzero(over, size=esc_cap, fill_value=n)[0].astype(jnp.uint32)
+    safe = jnp.minimum(eidx, jnp.uint32(n - 1)).astype(jnp.int32)
+    evals = jnp.where(eidx < n, counts[safe], 0)
+    return c16, _pack_bits(below), _pack_bits(rel), eidx, evals, n_esc
+
+
 def _dp_scan_fn(mesh, k: int, divisor: int):
     """Data-parallel scan over the mesh's devices: per-device tiles of a
     contig (k-1 halo handled by the host splitter), table replicated. The
@@ -121,15 +154,60 @@ def scan_window_tiled(tab, codes, solid_threshold, k: int, tile: int = 1 << 22,
                     below[s : s + mm] = b[d, :mm]
                     rel[s : s + mm] = r[d, :mm]
             pos += m
-    while pos < n:
-        m = min(tile, n - pos)
+    if tile % 8:  # bit packing needs whole bytes; tiles are powers of two
+        while pos < n:
+            m = min(tile, n - pos)
+            chunk = np.full(tile + k - 1, 255, dtype=np.uint8)
+            chunk[: m + k - 1] = codes[pos : pos + m + k - 1]
+            c, b, r = scan_window(tab, jnp.asarray(chunk), solid_threshold,
+                                  k, divisor)
+            counts[pos : pos + m] = np.asarray(c)[:m]
+            below[pos : pos + m] = np.asarray(b)[:m]
+            rel[pos : pos + m] = np.asarray(r)[:m]
+            pos += m
+
+    # single-device: packed outputs (2.25 B/pos over the link instead of 6)
+    # with the NEXT tile's scan dispatched and its copies in flight while
+    # the previous tile's arrays land and unpack
+    def _dispatch(p):
+        m = min(tile, n - p)
         chunk = np.full(tile + k - 1, 255, dtype=np.uint8)
-        chunk[: m + k - 1] = codes[pos : pos + m + k - 1]
-        c, b, r = scan_window(tab, jnp.asarray(chunk), solid_threshold, k, divisor)
-        counts[pos : pos + m] = np.asarray(c)[:m]
-        below[pos : pos + m] = np.asarray(b)[:m]
-        rel[pos : pos + m] = np.asarray(r)[:m]
-        pos += m
+        chunk[: m + k - 1] = codes[p : p + m + k - 1]
+        outs = scan_window_packed(tab, jnp.asarray(chunk), solid_threshold,
+                                  k, divisor)
+        for a in outs[:3]:
+            a.copy_to_host_async()
+        return p, m, outs
+
+    def _land(p, m, outs):
+        c16, bb, rb, eidx, evals, n_esc = outs
+        ne = int(n_esc)
+        c = np.asarray(c16).astype(np.uint32)
+        if ne:
+            if ne <= eidx.shape[0]:
+                ei = np.asarray(eidx).astype(np.int64)[:ne]
+                c[ei] = np.asarray(evals)[:ne]
+            else:  # escape overflow (pathological repeat soup): exact re-pull
+                chunk = np.full(tile + k - 1, 255, dtype=np.uint8)
+                chunk[: m + k - 1] = codes[p : p + m + k - 1]
+                cf, _, _ = scan_window(tab, jnp.asarray(chunk),
+                                       solid_threshold, k, divisor)
+                c = np.asarray(cf)
+        counts[p : p + m] = c[:m]
+        below[p : p + m] = np.unpackbits(
+            np.asarray(bb), bitorder="little")[:m].astype(bool)
+        rel[p : p + m] = np.unpackbits(
+            np.asarray(rb), bitorder="little")[:m].astype(bool)
+
+    pending = None
+    while pos < n or pending is not None:
+        nxt = None
+        if pos < n:
+            nxt = _dispatch(pos)
+            pos += nxt[1]
+        if pending is not None:
+            _land(*pending)
+        pending = nxt
     # the device reldrop is exact except in the first k positions of each
     # non-first tile, where the in-tile prev index max(i-k, 0) clamps to the
     # tile start instead of reaching back across the boundary (and the

@@ -50,7 +50,8 @@ class HostKmerTable:
 
     @classmethod
     def from_sorted_run(cls, k: int, keys: np.ndarray, counts: np.ndarray,
-                        load_factor: float = 0.6) -> "HostKmerTable":
+                        load_factor: float = 0.6,
+                        h: np.ndarray | None = None) -> "HostKmerTable":
         """Numpy twin of table.build.build_from_run: one cummax waterfall
         places a DISTINCT key stream already sorted by (mix32(key), key)
         ascending — the order count.counter.pull_run_records delivers.
@@ -64,7 +65,8 @@ class HostKmerTable:
         S = ROW_U32 // sw
         N = keys.shape[0]
         counts = np.asarray(counts, dtype=np.uint32)
-        h = hash_words_np(np.ascontiguousarray(keys, dtype=np.uint32))
+        if h is None:
+            h = hash_words_np(np.ascontiguousarray(keys, dtype=np.uint32))
         n_slots = slots_for(max(N, 1), load_factor)
         rank = np.arange(N, dtype=np.int64)
         while True:
@@ -254,11 +256,13 @@ class SortedRunTableBuilder:
         self._carry = np.int64(np.iinfo(np.int64).min)
         self._rank0 = 0
 
-    def push(self, keys: np.ndarray, counts: np.ndarray) -> None:
+    def push(self, keys: np.ndarray, counts: np.ndarray,
+             h: np.ndarray | None = None) -> None:
         n = keys.shape[0]
         if n == 0:
             return
-        h = hash_words_np(np.ascontiguousarray(keys, dtype=np.uint32))
+        if h is None:
+            h = hash_words_np(np.ascontiguousarray(keys, dtype=np.uint32))
         home = home_of(np, h, self.n_buckets).astype(np.int64)
         rank = np.arange(self._rank0, self._rank0 + n, dtype=np.int64)
         des = home * self.S - rank
