@@ -25,7 +25,7 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 BASE = os.path.join(REPO, ".baseline")
-RACE = os.path.join(REPO, ".race")
+RACE = os.environ.get("JT_RACE_DIR", os.path.join(REPO, ".race"))
 
 
 def log(msg):
