@@ -41,22 +41,26 @@ def _probe_kernel(G: int, W: int, sw: int, slots: int):
     def kernel(home_smem, keys_ref, *refs):
         rows_refs = refs[:G]
         cnt_ref, flag_ref = refs[G], refs[G + 1]
-        rows = jnp.concatenate([r[0] for r in rows_refs], axis=0)  # [G, 64]
-        keys = keys_ref[:]  # [G, W]
-        cnt = jnp.zeros((G, 1), jnp.uint32)
-        hit = jnp.zeros((G, 1), jnp.uint32)
-        empty = jnp.zeros((G, 1), jnp.uint32)
-        for s in range(slots):
-            base = s * sw
-            kw = rows[:, base : base + W]  # [G, W]
-            c = rows[:, base + sw - 1 : base + sw]  # [G, 1]
-            occ = c != 0
-            eq = jnp.all(kw == keys, axis=1, keepdims=True) & occ
-            cnt = cnt + jnp.where(eq, c, 0)
-            hit = hit | eq.astype(jnp.uint32)
-            empty = empty | (~occ).astype(jnp.uint32)
-        cnt_ref[:, :] = cnt
-        flag_ref[:, :] = hit * jnp.uint32(HIT_BIT) + empty * jnp.uint32(EMPTY_BIT)
+        # per-aliased-row compare (no concatenate: Mosaic-friendlier), each
+        # row ref is a (1, 1, 64) VMEM block fetched by the pipeline
+        for j in range(G):
+            row = rows_refs[j][0]  # [1, 64]
+            key = keys_ref[j : j + 1, :]  # [1, W]
+            cnt = jnp.zeros((1, 1), jnp.uint32)
+            hit = jnp.zeros((1, 1), jnp.uint32)
+            empty = jnp.zeros((1, 1), jnp.uint32)
+            for s in range(slots):
+                base = s * sw
+                kw = row[:, base : base + W]  # [1, W]
+                c = row[:, base + sw - 1 : base + sw]  # [1, 1]
+                occ = c != 0
+                eq = jnp.all(kw == key, axis=1, keepdims=True) & occ
+                cnt = cnt + jnp.where(eq, c, 0)
+                hit = hit | eq.astype(jnp.uint32)
+                empty = empty | (~occ).astype(jnp.uint32)
+            cnt_ref[j : j + 1, :] = cnt
+            flag_ref[j : j + 1, :] = (hit * jnp.uint32(HIT_BIT)
+                                      + empty * jnp.uint32(EMPTY_BIT))
 
     return kernel
 

@@ -137,6 +137,17 @@ def main():
 
     results["probe_xla_ms"] = round(timeit(probe_xla, tab64, probe_home, probe_keys) * 1e3, 2)
 
+    # The fused Pallas probe (table/pallas_probe.py) is equivalence-tested in
+    # interpret mode, but THIS deployment's remote-compile tunnel hangs or
+    # crashes (HTTP 500, tpu_compile_helper exit 1) on any Mosaic kernel
+    # using PrefetchScalarGridSpec/dynamic index_maps — a trivial
+    # one-row-fetch repro hangs >400 s while plain-XLA and grid-free Pallas
+    # kernels compile in seconds. Opt in on deployments with a local Mosaic
+    # compiler via JT_SWEEP_PALLAS=1.
+    if not os.environ.get("JT_SWEEP_PALLAS"):
+        results["probe_pallas"] = "skipped: remote-compile tunnel hangs on scalar-prefetch Mosaic kernels (set JT_SWEEP_PALLAS=1)"
+        print(json.dumps(results, indent=1))
+        return
     try:
         from jasper_tpu.table import pallas_probe
 
