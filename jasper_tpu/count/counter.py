@@ -57,6 +57,43 @@ def _unique_chunk_keys(codes: np.ndarray, k: int, canonical: bool):
     return keys[starts], mult
 
 
+def _prefetch(it, depth: int = 3):
+    """Run an iterator on a background thread, `depth` items ahead.
+
+    Host FASTQ parsing and device counting otherwise strictly alternate
+    (each chunk parses, then dispatches, then the next parse starts); with
+    the parser ahead on its own thread the device never waits on ingest.
+    stream_codes allocates a fresh buffer per yielded chunk, so queued
+    chunks are never mutated. Exceptions re-raise at the consumer."""
+    import queue
+    import threading
+
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    DONE = object()
+
+    class _Raised:
+        def __init__(self, exc):
+            self.exc = exc
+
+    def worker():
+        try:
+            for item in it:
+                q.put(item)
+            q.put(DONE)
+        except BaseException as e:  # noqa: BLE001 - propagated to consumer
+            q.put(_Raised(e))
+
+    t = threading.Thread(target=worker, name="ingest-prefetch", daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is DONE:
+            break
+        if isinstance(item, _Raised):
+            raise item.exc
+        yield item
+
+
 def count_reads(
     paths: Iterable[str],
     k: int,
@@ -120,7 +157,7 @@ def count_reads(
                          stage_lanes=8 * n_windows)
     occupied = 0
     n_chunks = 0
-    for codes, _fill in stream_codes(paths, k, chunk_len, min_qual_char):
+    for codes, _fill in _prefetch(stream_codes(paths, k, chunk_len, min_qual_char)):
         if on_full is not None and acc.n_resident_lanes() > n_slots:
             on_full(_finish_to_table(acc, k))
             acc = RunAccumulator(unit=acc.unit)
@@ -166,7 +203,7 @@ def _count_reads_mesh(paths, k, chunk_len, mesh, canonical, min_qual_char,
         keys, valid = vextract(jax.device_put(batch, acc.sharding))
         acc.push_raw(keys, valid)
 
-    for codes, _fill in stream_codes(paths, k, chunk_len, min_qual_char):
+    for codes, _fill in _prefetch(stream_codes(paths, k, chunk_len, min_qual_char)):
         if on_full is not None and acc.n_resident_lanes() > n_slots:
             if group:
                 _push_group()

@@ -119,14 +119,32 @@ def write_jf(
     lsize = int(math.log2(size))
     matrix = GF2Matrix.identity(lsize, 2 * k)
 
-    pos = matrix.times_words(keys)
     # sort by (pos, key) — key compared MSB-first == word-wise from the top.
-    # Large dumps sort on the device (lax.sort runs at sort-bandwidth; a
-    # host lexsort of 10^8-scale keys costs minutes), falling back to numpy.
-    skeys, scounts = _sort_records(pos, keys, counts, W)
+    # The native struct-radix + packer (native/jt_jf.cc) does sort+pack in
+    # seconds at 55 M records where the numpy path took ~64 s — load-bearing
+    # on the background .jf-writer thread, which otherwise starves the
+    # concurrent polish scan of host CPU (r4 race instrumentation). The
+    # identity-matrix fast path derives the order from the keys alone.
+    from jasper_tpu.io import native_jf
 
-    max_val = np.uint64((1 << (8 * counter_len)) - 1)
-    scounts = np.minimum(scounts, max_val)
+    recs = None
+    pos = None
+    if counter_len <= 8:
+        if 2 * k <= 64 and lsize <= 2 * k:
+            recs = native_jf.jf_sort_pack(
+                keys, np.asarray(counts, np.uint64), None, kb, counter_len,
+                lsize, k, identity_lsize=lsize)
+        if recs is None:
+            pos = matrix.times_words(keys)
+            recs = native_jf.jf_sort_pack(
+                keys, np.asarray(counts, np.uint64), pos, kb, counter_len,
+                lsize, k)
+    if recs is None:
+        if pos is None:
+            pos = matrix.times_words(keys)
+        skeys, scounts = _sort_records(pos, keys, counts, W)
+        max_val = np.uint64((1 << (8 * counter_len)) - 1)
+        scounts = np.minimum(scounts, max_val)
 
     header = {
         "alignment": 8,
@@ -147,16 +165,17 @@ def write_jf(
     padlen = (8 - pad) if pad else 0
     hlen = len(hjson) + padlen
 
-    keyb = np.ascontiguousarray(skeys).view("<u4").astype("<u4").tobytes()
-    keyb = np.frombuffer(keyb, dtype=np.uint8).reshape(n, 4 * W)[:, :kb]
-    cntb = scounts.astype("<u8").view(np.uint8).reshape(n, 8)[:, :counter_len]
-    recs = np.concatenate([keyb, cntb], axis=1)
+    if recs is None:
+        keyb = np.ascontiguousarray(skeys).view("<u4").astype("<u4").tobytes()
+        keyb = np.frombuffer(keyb, dtype=np.uint8).reshape(n, 4 * W)[:, :kb]
+        cntb = scounts.astype("<u8").view(np.uint8).reshape(n, 8)[:, :counter_len]
+        recs = np.concatenate([keyb, cntb], axis=1)
 
     with open(path, "wb") as f:
         f.write(b"%09d" % hlen)
         f.write(hjson)
         f.write(b"\x00" * padlen)
-        f.write(recs.tobytes())
+        f.write(memoryview(np.ascontiguousarray(recs).reshape(-1)))
 
 
 def standard_header_extras(argv=None) -> dict:
@@ -275,11 +294,19 @@ def load_jf_into_host_table(path: str, load_factor: float = 0.6):
     from jasper_tpu.ops.hashing import hash_words_np
     from jasper_tpu.table.host_table import HostKmerTable
 
+    from jasper_tpu.io import native_jf
+    from jasper_tpu.ops.kmer import key_bytes as _key_bytes
+
     k, keys, counts, header = read_any_jf(path)
     counts32 = np.minimum(counts, 0xFFFFFFFF).astype(np.uint32)
     W = keys.shape[1]
-    h = hash_words_np(keys)
-    order = _radix_lexsort([keys[:, j] for j in range(W)] + [h])
+    h = native_jf.mix32_batch(keys)
+    if h is None:
+        h = hash_words_np(keys)
+    order = native_jf.jf_sort_order(
+        keys, h.astype(np.uint64), _key_bytes(k), 32)
+    if order is None:
+        order = _radix_lexsort([keys[:, j] for j in range(W)] + [h])
     tab = HostKmerTable.from_sorted_run(
         k, np.ascontiguousarray(keys[order]), counts32[order], load_factor
     )

@@ -37,15 +37,25 @@ import math
 import os
 import re
 import sys
+import time
 
 import numpy as np
 
 MAX_BATCH_SIZE = 25_000_000  # sh:9
 
+_T0 = time.perf_counter()
+
 
 def log(msg: str) -> None:
     d = datetime.datetime.now().strftime("%a %b %e %H:%M:%S %Z %Y")
     print(f"[{d}] {msg}", flush=True)
+
+
+def tlog(msg: str) -> None:
+    """Stage-timing log line: elapsed process seconds + message. These lines
+    are the reconciliation trail between `.race/result.json` wall-clock and
+    the per-stage profile (VERDICT r3: ~120 s unaccounted)."""
+    print(f"[stage +{time.perf_counter() - _T0:8.1f}s] {msg}", flush=True)
 
 
 class PipelineError(RuntimeError):
@@ -451,9 +461,12 @@ def run_pipeline(
             mesh = local_data_mesh(num_devices)
             if mesh is not None:
                 log(f"Counting data-parallel over {mesh.shape['data']} devices")
+            tlog("count: start (ingest + device counting)")
             tab, run = count_reads(reads, k, hash_size_hint=max(jf_size, 1024),
                                    mesh=mesh, return_run=True)
+            tlog("count: device counting done")
             write_histogram(histo_csv, histogram_rows(tab, k))
+            tlog("count: histogram done")
             del tab
             # pull the ~12 B/record compacted run — NOT the ~40 B/record
             # table — over the slow tunnel d2h link; host-table placement
@@ -480,19 +493,33 @@ def run_pipeline(
 
                 rkeys, rcounts = pull_run_records(run, consumer=_consume)
                 del run
+                tlog(f"count: run pull done ({n_rec} records)")
                 host_table = (
                     builder.finish() if builder is not None
                     else HostKmerTable.from_sorted_run(k, rkeys, rcounts)
                 )
+                tlog("count: host table built")
             # the in-process polish stage reads the in-memory table; the .jf
             # artifact writes in the background (tmp+rename keeps a crashed
             # run restartable) and is joined before the pipeline returns.
             # Multi-host writes synchronously: peers load it right after the
             # "db" barrier off the shared FS.
             def _write_db(path=jf_db, kk=k, ks=rkeys, cs=rcounts):
+                t0 = time.perf_counter()
+                try:
+                    # yield the CPU to the concurrent polish scan: this
+                    # thread runs dead last (the r4 instrumented race showed
+                    # the writer starving polish pass 0, 112 s vs 8 s)
+                    import threading
+
+                    os.setpriority(os.PRIO_PROCESS, threading.get_native_id(), 19)
+                except (OSError, AttributeError):
+                    pass
                 tmp = path + ".tmp"
                 write_jf(tmp, kk, ks, cs.astype(np.uint64))
                 os.replace(tmp, path)
+                tlog(f"count: background .jf write done "
+                     f"({time.perf_counter() - t0:.1f}s thread time)")
 
             if proc_count > 1:
                 _write_db()
@@ -562,6 +589,7 @@ def run_pipeline(
             def engine_cls(c, kk, t):
                 return DevicePolishEngine(c, kk, t, scanner=scanner)
 
+            tlog("polish: start")
             for bp in my_shard(batch_paths, proc_id, proc_count):
                 bn = os.path.basename(bp)
                 polish_file(
@@ -574,6 +602,7 @@ def run_pipeline(
                     os.path.join(workdir, f"_iter{last_it}_{bn}.fixed.fa.tmp"),
                     os.path.join(workdir, f"_iter{last_it}_{bn}.fixed.fa"),
                 )
+                tlog(f"polish: batch {bn} done")
         barrier("correct")  # all hosts' batches done before the join
         _rm(_marker(workdir, "join"))
         _touch(_marker(workdir, "correct"))
@@ -583,6 +612,7 @@ def run_pipeline(
     fixes_csv = os.path.join(workdir, f"{query_fn}.fixes.csv")
     if proc_id == 0 and not os.path.exists(_marker(workdir, "join")):
         log("Joining")
+        tlog("join: start")
         fixed_paths = [
             os.path.join(workdir, f"_iter{last_it}_{os.path.basename(bp)}.fixed.fa")
             for bp in batch_paths
@@ -628,7 +658,12 @@ def run_pipeline(
             if p.endswith("qValCalcHelper.csv"):
                 _rm(os.path.join(workdir, p))
     if db_writer is not None:
+        t0 = time.perf_counter()
         db_writer.join()
+        wait = time.perf_counter() - t0
+        if wait > 0.5:
+            tlog(f"blocked {wait:.1f}s waiting for background .jf write")
+    tlog("pipeline done")
     log(f"Polished sequence is in {query_fn}.polished.fasta")
     return {
         "polished": polished,

@@ -49,6 +49,8 @@ def polish_file(
     Writes the same artifact set as reference jasper.py. Returns the final
     sequence dict.
     """
+    import time as _time
+
     engine = engine_cls(counts, k, threshold)
     user_fix_choice = fix
     if seqs is None:
@@ -59,7 +61,10 @@ def polish_file(
         if ite == passes:
             ite_fix = False
             final_fixedout = _iter_name(fixedout, ite - 1)
+        _t0 = _time.perf_counter()
         result = engine.run_pass(seqs, ite_fix)
+        print(f"[stage] polish pass {ite} scan+fix "
+              f"{_time.perf_counter() - _t0:.1f}s", flush=True)
         seqs = result.seqs
 
         if test and (ite == 0 or ite == passes):

@@ -1,0 +1,204 @@
+// Native .jf record sorting + packing.
+//
+// The .jf "binary/sorted" format stores records sorted by
+// (pos = hash(key) & mask, key MSB-first) — reference jellyfish
+// binary_dumper.hpp:19-41 (records) and sorted_dumper.hpp:57-103 (ordering).
+// The r3 numpy path (io/jf.py write_jf) spent ~64 s on a 55.7 M-record dump
+// (three stable argsorts + strided byte packing); running on the background
+// .jf-writer thread it starved the concurrent polish scan on a 2-vCPU host
+// (r4 instrumented race: pass 0 took 112 s vs 8 s for pass 1).
+//
+// Design: LSD radix with 16-bit digits over COMPACT STRUCTS (record payload
+// + little-endian sort suffix), not index permutations — every pass streams
+// structs into 65536 sequential bucket runs instead of doing a random
+// gather per element (index radix measured latency-bound: 27-48 s for the
+// same 55.7 M records).
+//
+// Also exposes jt_mix32_batch: the murmur3-32 key hash (identical to
+// jasper_tpu.ops.hashing.mix32) so .jf loads skip the ~25 s numpy murmur.
+
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+// Digit width: 16-bit halves the passes but scatters into 65536 write
+// streams; 8-bit doubles passes with only 256 streams. Which wins depends
+// on the host's TLB/cache; JT_RADIX8=1 forces 8-bit for benchmarking.
+inline bool use_16bit_digits() {
+  static const bool v = getenv("JT_RADIX8") == nullptr;
+  return v;
+}
+
+inline uint32_t rotl32(uint32_t x, int r) { return (x << r) | (x >> (32 - r)); }
+
+inline uint32_t mix32(const uint32_t* w, int W) {
+  uint32_t h = 0x6A737072u;
+  for (int j = 0; j < W; ++j) {
+    uint32_t k = w[j] * 0xCC9E2D51u;
+    k = rotl32(k, 15);
+    k *= 0x1B873593u;
+    h ^= k;
+    h = rotl32(h, 13);
+    h = h * 5u + 0xE6546B64u;
+  }
+  h ^= (uint32_t)(4 * W);
+  h ^= h >> 16;
+  h *= 0x85EBCA6Bu;
+  h ^= h >> 13;
+  h *= 0xC2B2AE35u;
+  h ^= h >> 16;
+  return h;
+}
+
+// One stable counting pass: digit = `width` (1|2) little-endian bytes at
+// struct offset `off`. src -> dst (distinct buffers).
+void struct_radix_pass(const uint8_t* src, uint8_t* dst, int64_t n,
+                       int stride, int off, int width) {
+  int n_buckets = width == 2 ? 65536 : 256;
+  std::vector<int64_t> hist(n_buckets, 0);
+  const uint8_t* p = src + off;
+  if (width == 2) {
+    for (int64_t i = 0; i < n; ++i, p += stride) {
+      uint16_t d;
+      memcpy(&d, p, 2);
+      ++hist[d];
+    }
+  } else {
+    for (int64_t i = 0; i < n; ++i, p += stride) ++hist[*p];
+  }
+  int64_t sum = 0;
+  for (int d = 0; d < n_buckets; ++d) {
+    int64_t c = hist[d];
+    hist[d] = sum;
+    sum += c;
+  }
+  p = src;
+  if (width == 2) {
+    for (int64_t i = 0; i < n; ++i, p += stride) {
+      uint16_t d;
+      memcpy(&d, p + off, 2);
+      memcpy(dst + hist[d]++ * stride, p, stride);
+    }
+  } else {
+    for (int64_t i = 0; i < n; ++i, p += stride) {
+      memcpy(dst + hist[p[off]]++ * stride, p, stride);
+    }
+  }
+}
+
+// LSD radix over a little-endian sort field [sort_off, sort_off+sort_bytes):
+// 16-bit digit passes from the bottom, one 8-bit pass if sort_bytes is odd.
+// Returns the buffer holding the sorted structs (a or b).
+uint8_t* struct_radix(uint8_t* a, uint8_t* b, int64_t n, int stride,
+                      int sort_off, int sort_bytes) {
+  int byte = 0;
+  while (byte < sort_bytes) {
+    int width = (use_16bit_digits() && sort_bytes - byte >= 2) ? 2 : 1;
+    struct_radix_pass(a, b, n, stride, sort_off + byte, width);
+    byte += width;
+    uint8_t* t = a;
+    a = b;
+    b = t;
+  }
+  return a;
+}
+
+}  // namespace
+
+extern "C" {
+
+// murmur3-32 of each key row (same function as ops.hashing.mix32 and
+// jt_table.cc's probe hash).
+void jt_mix32_batch(const uint32_t* keys, int64_t n, int W, uint32_t* out) {
+  for (int64_t i = 0; i < n; ++i) out[i] = mix32(keys + i * W, W);
+}
+
+// Stable record order by (pos, key MSB-first); out_order: uint32 [n].
+//
+// The sort field is the little-endian concatenation [key kb bytes | pos
+// pos_bytes] — ascending order of that composite IS (pos, key) order, since
+// pos occupies the most significant bytes. Struct: [idx u32][sort field].
+void jt_jf_sort_order(const uint32_t* keys, const uint64_t* pos, int64_t n,
+                      int W, int kb, int pos_bytes, uint32_t* out_order) {
+  if (n <= 0 || W <= 0 || kb <= 0 || kb > 4 * W || pos_bytes < 0 ||
+      pos_bytes > 8)
+    return;
+  int stride = 4 + kb + pos_bytes;
+  std::vector<uint8_t> bufa((size_t)n * stride), bufb((size_t)n * stride);
+  const uint8_t* kbytes = (const uint8_t*)keys;
+  int64_t kstride = 4 * (int64_t)W;
+  for (int64_t i = 0; i < n; ++i) {
+    uint8_t* s = bufa.data() + i * stride;
+    uint32_t idx = (uint32_t)i;
+    memcpy(s, &idx, 4);
+    memcpy(s + 4, kbytes + i * kstride, kb);
+    memcpy(s + 4 + kb, &pos[i], pos_bytes);
+  }
+  uint8_t* res = struct_radix(bufa.data(), bufb.data(), n, stride, 4,
+                              kb + pos_bytes);
+  for (int64_t i = 0; i < n; ++i)
+    memcpy(&out_order[i], res + i * stride, 4);
+}
+
+// Sort records by (pos, key) and pack them as the .jf record section:
+// kb little-endian key bytes + counter_len little-endian count bytes
+// (saturating), per record. out: uint8 [n * (kb + counter_len)].
+//
+// identity_lsize >= 0 selects the identity-matrix fast path (the layout
+// write_jf always emits, like real jellyfish's small-key arrays,
+// large_hash_array.hpp:998-1001): pos = low lsize key bits, so (pos, key)
+// order equals ascending order of the composite
+//   (pos << (2k - lsize)) | (key >> lsize)
+// computed here from the key alone (requires 2k <= 64); `pos` may be NULL.
+// Otherwise (identity_lsize < 0) `pos` supplies the hash positions and the
+// sort field is [key kb | pos pos_bytes].
+//
+// Struct layout during the sort: [record rec bytes][sort field]; the final
+// pack is one sequential stride-to-record copy.
+void jt_jf_sort_pack(const uint32_t* keys, const uint64_t* counts,
+                     const uint64_t* pos, int64_t n, int W, int kb,
+                     int counter_len, int pos_bytes, int k,
+                     int identity_lsize, uint8_t* out) {
+  if (n <= 0 || W <= 0 || kb <= 0 || kb > 4 * W || counter_len <= 0 ||
+      counter_len > 8 || pos_bytes < 0 || pos_bytes > 8)
+    return;
+  int rec = kb + counter_len;
+  const bool identity = identity_lsize >= 0;
+  if (identity && (2 * k > 64 || identity_lsize > 2 * k)) return;
+  if (!identity && pos == nullptr) return;
+  int sort_bytes = identity ? (2 * k + 7) / 8 : kb + pos_bytes;
+  int stride = rec + sort_bytes;
+  std::vector<uint8_t> bufa((size_t)n * stride), bufb((size_t)n * stride);
+  const uint8_t* kbytes = (const uint8_t*)keys;
+  int64_t kstride = 4 * (int64_t)W;
+  uint64_t max_val =
+      counter_len >= 8 ? ~0ull : ((1ull << (8 * counter_len)) - 1);
+  for (int64_t i = 0; i < n; ++i) {
+    uint8_t* s = bufa.data() + i * stride;
+    memcpy(s, kbytes + i * kstride, kb);
+    uint64_t c = counts[i];
+    if (c > max_val) c = max_val;
+    memcpy(s + kb, &c, counter_len);
+    if (identity) {
+      uint64_t key = 0;
+      memcpy(&key, kbytes + i * kstride, kb < 8 ? kb : 8);
+      uint64_t p = key & ((identity_lsize >= 64)
+                              ? ~0ull
+                              : ((1ull << identity_lsize) - 1));
+      uint64_t comp = (p << (2 * k - identity_lsize)) | (key >> identity_lsize);
+      memcpy(s + rec, &comp, sort_bytes);
+    } else {
+      memcpy(s + rec, kbytes + i * kstride, kb);
+      memcpy(s + rec + kb, &pos[i], pos_bytes);
+    }
+  }
+  uint8_t* res = struct_radix(bufa.data(), bufb.data(), n, stride, rec,
+                              sort_bytes);
+  for (int64_t i = 0; i < n; ++i)
+    memcpy(out + i * rec, res + i * stride, rec);
+}
+
+}  // extern "C"
