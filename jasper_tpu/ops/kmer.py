@@ -252,3 +252,23 @@ def words_to_int(words) -> int:
     for j in range(len(words) - 1, -1, -1):
         v = (v << 32) | int(words[j])
     return v
+
+
+_BASE_LUT = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+
+def decode_keys_ascii(keys: np.ndarray, k: int) -> np.ndarray:
+    """Packed key words [N, W] uint32 -> ASCII base matrix [N, k] uint8.
+
+    Vectorized inverse of the 2-bit packing (first base in the highest bit
+    pair, little-endian 32-bit words) — the batch analog of int_to_kmer,
+    k vector ops instead of N*k Python ops. Powers the streaming dump
+    (reference jellyfish binary_dumper.hpp:83-109 reads sequentially; here
+    whole chunks decode at once)."""
+    keys = np.ascontiguousarray(keys, dtype=np.uint32)
+    n = keys.shape[0]
+    codes = np.empty((n, k), np.uint8)
+    for p in range(k):
+        b = 2 * (k - 1 - p)
+        codes[:, p] = (keys[:, b >> 5] >> np.uint32(b & 31)).astype(np.uint8) & 3
+    return _BASE_LUT[codes]

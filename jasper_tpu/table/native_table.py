@@ -82,10 +82,10 @@ class NativeTableQuery:
         lib = _load()
         if lib is None:
             raise RuntimeError("native table library unavailable")
-        if int(host_table.W) > 15:
-            # jt_table.cc MAX_W=15 fails closed (all-zero counts) beyond
-            # k=240; force the pure-Python fallback instead
-            raise RuntimeError("native kernel supports k <= 240")
+        if int(host_table.W) > 63:
+            # jt_table.cc MAX_W=63 fails closed (all-zero counts) beyond
+            # k=1008; force the pure-Python fallback instead
+            raise RuntimeError("native kernel supports k <= 1008")
         self._lib = lib
         self._host = host_table  # keep the numpy buffer alive
         tab = host_table.tab

@@ -26,7 +26,10 @@
 namespace {
 
 constexpr int ROW_U32 = 64;
-constexpr int MAX_W = 15;  // k <= 240 (matches table.kmer_table.slot_words_for)
+// W <= 63 covers the full k <= 1008 range of table.kmer_table.slot_words_for
+// (wide mers use one 64-u32 slot per bucket; probing degenerates to plain
+// linear probing bounded by the pad region, same as the Python table).
+constexpr int MAX_W = 63;
 
 // ASCII -> 2-bit code; 0xFF = not ACGT (run terminator).
 struct CodeTab {
@@ -68,7 +71,7 @@ inline uint32_t mix32(const uint32_t* w, int W) {
 // first non-ACGT char / end of string) into key[0..W-1].
 inline void effective_canonical_key(const char* s, int64_t slen, int k, int W,
                                     uint32_t* key) {
-  uint8_t codes[16 * MAX_W + 16];  // k <= 240 < 256
+  uint8_t codes[16 * MAX_W + 16];  // k <= 1008 < 1024
   int64_t n = slen < k ? slen : k;
   int stop = 0;
   for (; stop < n; ++stop) {

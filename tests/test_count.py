@@ -126,6 +126,7 @@ def test_histogram_rows_from_table():
     assert rows == sorted((c, n) for c, n in freq.items())
 
 
+@pytest.mark.slow
 def test_mesh_counting_jf_byte_match(tmp_path):
     """Multi-chip counting (count_reads mesh=8-virtual-device "data" mesh,
     count/mesh_runs.py) must produce a table whose .jf dump byte-matches the
@@ -172,12 +173,14 @@ def test_mesh_counting_jf_byte_match(tmp_path):
     check_table_matches(tab8, k, oracle_counts(reads, k))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("k", [301, 520])  # W=19 (sw=32) and W=33 (sw=64)
 def test_count_wide_k_beyond_240(k, tmp_path):
     """k > 240 (reference multi-word mers are unbounded,
     jf:include/jellyfish/mer_dna.hpp:626-667): the full cycle — count,
-    host-table items, string queries through CountSource (whose native
-    kernel must refuse W > 15 and fall back), and .jf round-trip."""
+    host-table items, string queries through CountSource (native kernel
+    serves W <= 63 since r4; beyond that it falls back), and .jf
+    round-trip."""
     rng = np.random.default_rng(k)
     seqs = [
         "".join(rng.choice(list("ACGT")) for _ in range(rng.integers(k, k + 80)))
@@ -192,11 +195,24 @@ def test_count_wide_k_beyond_240(k, tmp_path):
     from jasper_tpu.polish.engine import CountSource
 
     src = CountSource(host)
-    assert src._native is None  # jt_table.cc MAX_W=15: must not be used
+    from jasper_tpu.table import native_table
+
+    if native_table.available():
+        # jt_table.cc MAX_W=63 (r4): wide-k queries run native, no
+        # pure-Python fallback cliff during repair
+        assert src._native is not None
     some = list(truth.items())[:5]
     for mer, cnt in some:
         assert src.count(mer) == cnt
     assert src.count("A" * k) == truth.get("A" * k, 0)
+    # native and pure-Python paths agree on adversarial strings
+    if src._native is not None:
+        from jasper_tpu.polish.semantics import effective_canonical_words
+
+        for s in [seqs[0][:k], "N" + seqs[1][:k], seqs[2][: k - 7], "A" * k]:
+            want = host.lookup_words(
+                np.asarray(effective_canonical_words(s, k))[None])[0]
+            assert src._native.query_str(s) == int(want)
 
     from jasper_tpu.io.jf import dump_table_to_jf, load_jf_into_host_table
 

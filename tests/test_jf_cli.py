@@ -126,6 +126,26 @@ def test_query(counted_jf):
     assert lines[-1] == f"{rc} {oracle[some[0]]}"
 
 
+def test_query_sequence_file(counted_jf, reads_fa, tmp_path):
+    """query -s: every window of every read, in order, `MER count` lines —
+    the vectorized batch path must match a per-window oracle (reference
+    query_main.cc:86-123 sequence mode)."""
+    out, oracle = counted_jf
+    path, seqs = reads_fa
+    qf = tmp_path / "q.fa"
+    with open(qf, "w") as f:
+        f.write(f">q0\n{seqs[0][:80]}\n>q1\nAC\n>q2\nANN{seqs[1][:40]}\n")
+    got = run_cli("query", "-s", str(qf), out).splitlines()
+    want = []
+    for s in (seqs[0][:80], "AC", "ANN" + seqs[1][:40]):
+        for i in range(max(0, len(s) - K + 1)):
+            mer = s[i : i + K].upper()
+            cnt = oracle.get(canonical_str(mer), 0) if all(
+                ch in "ACGT" for ch in mer) else 0
+            want.append(f"{mer} {cnt}")
+    assert got == want
+
+
 def test_merge_ops(tmp_path):
     mers = ["ACGTACGTACGTACG", "CCCCCCCCCCCCCCC", "GATTACAGATTACAG"]
     k1 = np.stack([int_to_words(kmer_to_int(m), K) for m in mers[:2]])

@@ -64,3 +64,34 @@ def test_tiled_matches_oracle_with_reldrop_at_boundaries(tile):
     np.testing.assert_array_equal(below, ob)
     np.testing.assert_array_equal(rel, orel)
     assert orel.any(), "fixture must actually exercise the reldrop flag"
+
+
+def test_mesh_scan_cache_keys_on_devices_not_mesh_identity():
+    """Two meshes over different device sets must not alias one cached
+    jitted scan (the r3 `id(mesh)` key could: a GC'd Mesh's id is reusable).
+    Both runs must match the single-device scan bit-for-bit."""
+    import jax
+    from jax.sharding import Mesh
+
+    from jasper_tpu.polish.window import _DP_SCAN_CACHE
+
+    rng = np.random.default_rng(5)
+    genome = G.random_genome(rng, 800)
+    reads = list(G.tiled_reads(genome, read_len=100, stride=3)) * 4
+    tab = count_sequences(reads, K)
+    codes = encode(genome)
+    ref = scan_window_tiled(tab, codes, np.uint32(2), K, tile=256)
+
+    devs = jax.devices()
+    assert len(devs) >= 4, "conftest forces an 8-device CPU platform"
+    _DP_SCAN_CACHE.clear()
+    mesh_a = Mesh(np.array(devs[:2]), ("data",))
+    got_a = scan_window_tiled(tab, codes, np.uint32(2), K, tile=256, mesh=mesh_a)
+    key_a = next(iter(_DP_SCAN_CACHE))
+    mesh_b = Mesh(np.array(devs[2:4]), ("data",))
+    got_b = scan_window_tiled(tab, codes, np.uint32(2), K, tile=256, mesh=mesh_b)
+    assert len(_DP_SCAN_CACHE) == 2, "distinct device sets must cache separately"
+    assert key_a[0] == (devs[0].id, devs[1].id)
+    for got in (got_a, got_b):
+        for g, r in zip(got, ref):
+            np.testing.assert_array_equal(g, r)
