@@ -96,6 +96,7 @@ def test_multi_contig_and_short_contigs():
     run_both(seqs, tab, host, passes=1)
 
 
+@pytest.mark.slow
 def test_polish_file_device_engine(tmp_path):
     """polish_file wired with the device engine produces the reference
     artifact set."""

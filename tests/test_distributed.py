@@ -36,6 +36,7 @@ print("QVRESULT", repr(res["q_before"]), repr(res["q_after"]))
 """
 
 
+@pytest.mark.slow
 def test_two_process_pipeline_matches_single(tmp_path):
     rng = np.random.default_rng(21)
     genome = G.random_genome(rng, 12000)

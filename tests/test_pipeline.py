@@ -96,6 +96,7 @@ def test_qv_math():
     assert abs(float(q) - expect) < 1e-4
 
 
+@pytest.mark.slow
 def test_pipeline_end_to_end(small_case):
     tmp_path, asm, rf, genome, draft = small_case
     wd = tmp_path / "run"
@@ -121,6 +122,7 @@ def test_pipeline_end_to_end(small_case):
     assert read_fasta(res2["polished"]) == polished
 
 
+@pytest.mark.slow
 def test_multiprocess_polish_matches_inprocess(small_case):
     """cpu_workers=True fans out worker processes over batches (reference
     xargs -P); outputs must byte-match the in-process device-engine path.
@@ -147,6 +149,7 @@ def test_multiprocess_polish_matches_inprocess(small_case):
     assert polished["chrA"] == genome
 
 
+@pytest.mark.slow
 def test_cli_end_to_end(small_case):
     tmp_path, asm, rf, genome, draft = small_case
     wd = tmp_path / "cli_run"
@@ -229,6 +232,7 @@ def test_select_scanner_policy(small_case):
     assert mesh_for_table(100, 8, hbm_budget=1 << 30) == (1, 8)
 
 
+@pytest.mark.slow
 def test_qv_matches_bc_reference_math():
     """qv_from_tallies must reproduce jasper.sh's bc pipeline digit-exactly
     (sh:238-256), checked against the committed bc shim."""
