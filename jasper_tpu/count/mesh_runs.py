@@ -29,6 +29,7 @@ import numpy as np
 from jasper_tpu.count.sorted_runs import (
     RunAccumulator,
     _compact,
+    _scalar_ready,
     make_run_ones,
     merge_runs,
 )
@@ -72,8 +73,12 @@ def _vpad(h, keys, counts, pad_ref):
 class MeshRunAccumulator:
     """RunAccumulator with a leading device axis: runs are [D, L] arrays
     sharded along the mesh's "data" axis; every sort/merge runs device-local.
-    Size classes use the MAX active count across devices (one tiny host sync
-    per stage flush, same cadence as the single-device accumulator)."""
+    Size classes use the MAX active count across devices; like the
+    single-device accumulator, that scalar resolves through an async FIFO
+    pending queue instead of a blocking per-flush round trip (see
+    RunAccumulator's docstring — same determinism argument)."""
+
+    PENDING_DEPTH = 2
 
     def __init__(self, mesh, unit: int, stage_lanes: int | None = None):
         self.mesh = mesh
@@ -84,6 +89,8 @@ class MeshRunAccumulator:
         self.levels: dict[int, tuple] = {}
         self._stage: list[tuple] = []
         self._staged = 0  # per-device staged lanes
+        self._pending: list[tuple] = []
+        self._draining = False
 
     def push_raw(self, keys, valid):
         """keys uint32 [D, B, W], valid bool [D, B] (device-sharded)."""
@@ -99,7 +106,7 @@ class MeshRunAccumulator:
         h, kk, cc, n_act = _vflush_stage(
             tuple(k for k, _ in stage), tuple(v for _, v in stage)
         )
-        self._push(h, kk, cc, int(jnp.max(n_act)))
+        self._enqueue(h, kk, cc, jnp.max(n_act))
 
     def _size_class(self, n_active: int) -> int:
         j = 0
@@ -119,26 +126,52 @@ class MeshRunAccumulator:
         if b[0].shape[1] < a[0].shape[1]:
             b = _vpad(b[0], b[1], b[2], a[0])
         h, keys, counts, n_act = _vmerge(a[0], a[1], a[2], b[0], b[1], b[2])
-        return h, keys, counts, int(jnp.max(n_act))
+        return h, keys, counts, jnp.max(n_act)
 
-    def _push(self, h, keys, counts, n_active: int):
+    def _enqueue(self, h, keys, counts, n_act):
+        if not isinstance(n_act, int):
+            try:
+                n_act.copy_to_host_async()
+            except AttributeError:
+                pass
+        self._pending.append((h, keys, counts, n_act))
+        if not self._draining:
+            self._drain()
+
+    def _drain(self, block: bool = False):
+        self._draining = True
+        try:
+            while self._pending:
+                if (not block and len(self._pending) <= self.PENDING_DEPTH
+                        and not _scalar_ready(self._pending[0][3])):
+                    return
+                h, keys, counts, n = self._pending.pop(0)
+                self._push_resolved(h, keys, counts, int(n))
+        finally:
+            self._draining = False
+
+    def _push_resolved(self, h, keys, counts, n_active: int):
         j, run = self._truncate((h, keys, counts), n_active)
-        while j in self.levels:
+        if j in self.levels:
             old = self.levels.pop(j)
-            h, keys, counts, n_act = self._merge(old, run)
-            j, run = self._truncate((h, keys, counts), n_act)
-        self.levels[j] = run
+            mh, mk, mc, mn = self._merge(old, run)
+            self._enqueue(mh, mk, mc, mn)
+        else:
+            self.levels[j] = run
 
     def n_resident_lanes(self) -> int:
         """Total lanes across all devices (the --disk sizing metric)."""
         return self.D * (
-            sum(r[0].shape[1] for r in self.levels.values()) + self._staged
+            sum(r[0].shape[1] for r in self.levels.values())
+            + sum(p[0].shape[1] for p in self._pending)
+            + self._staged
         )
 
     def finish(self):
         """Merge per-device ladders, then fold across devices into one
         single-device run (h, keys, counts, n_active) — or None if empty."""
         self.flush_stage()
+        self._drain(block=True)
         runs = [self.levels.pop(j) for j in sorted(self.levels)]
         if not runs:
             return None

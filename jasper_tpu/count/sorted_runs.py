@@ -236,6 +236,17 @@ def extract_windows(codes, k: int, canonical: bool = True):
     return forward_windows(jnp, codes, k)
 
 
+def _scalar_ready(x) -> bool:
+    """True when int(x) would not block (plain ints, or a device scalar
+    whose transfer has landed)."""
+    if isinstance(x, int):
+        return True
+    try:
+        return bool(x.is_ready())
+    except AttributeError:
+        return True  # backend without is_ready: degrade to sync draining
+
+
 class RunAccumulator:
     """LSM-style accumulator of sorted runs on device.
 
@@ -248,7 +259,19 @@ class RunAccumulator:
     (size class = smallest power-of-2 lane count that holds the run's
     actives, floored at ``unit``). finish() merges everything into one run.
     Device memory stays O(total distinct keys + stage_lanes).
+
+    LSM control flow is ASYNC: the size class of a flushed/merged run needs
+    its active count on the host, but a blocking int(n_act) pays a full
+    device round trip — measured up to ~1.7 s each on a degraded tunnel,
+    ~40 of them per 800 Mbase count (r4). Runs queue with their n_act
+    device scalar in flight (copy_to_host_async) and resolve FIFO once the
+    scalar has landed (or when the queue exceeds PENDING_DEPTH / at
+    finish). FIFO resolution keeps the merge tree a deterministic function
+    of the push sequence — is_ready timing affects only WHEN work drains,
+    never the order — so results stay reproducible run to run.
     """
+
+    PENDING_DEPTH = 2  # resident pending runs before a forced (blocking) drain
 
     def __init__(self, unit: int, stage_lanes: int | None = None):
         self.unit = max(1, unit)
@@ -257,6 +280,8 @@ class RunAccumulator:
         self.stage_lanes = stage_lanes if stage_lanes else 8 * self.unit
         self._stage: list[tuple] = []  # (keys [B, W], valid [B]) pairs
         self._staged = 0
+        self._pending: list[tuple] = []  # (h, keys, counts, n_act_dev|int)
+        self._draining = False
 
     def push_raw(self, keys, valid):
         """Stage raw (possibly duplicate-heavy) window keys; flushes with a
@@ -277,7 +302,7 @@ class RunAccumulator:
         h, kk, cc, n_act = _flush_stage_jit(
             tuple(k for k, _ in stage), tuple(v for _, v in stage)
         )
-        self.push(h, kk, cc, int(n_act))
+        self._enqueue(h, kk, cc, n_act)
 
     def _size_class(self, n_active: int) -> int:
         j = 0
@@ -303,34 +328,61 @@ class RunAccumulator:
             b = _pad_run_jit(b[0], b[1], b[2], L)
         return _merge_jit(a[0], a[1], a[2], b[0], b[1], b[2])
 
+    # -- async pending queue -------------------------------------------------
+
+    def _enqueue(self, h, keys, counts, n_act):
+        if not isinstance(n_act, int):
+            try:
+                n_act.copy_to_host_async()
+            except AttributeError:
+                pass
+        self._pending.append((h, keys, counts, n_act))
+        if not self._draining:
+            self._drain()
+
+    def _drain(self, block: bool = False):
+        self._draining = True
+        try:
+            while self._pending:
+                if (not block and len(self._pending) <= self.PENDING_DEPTH
+                        and not _scalar_ready(self._pending[0][3])):
+                    return
+                h, keys, counts, n = self._pending.pop(0)
+                self._push_resolved(h, keys, counts, int(n))
+        finally:
+            self._draining = False
+
+    def _push_resolved(self, h, keys, counts, n_active: int):
+        j, run = self._truncate((h, keys, counts), n_active)
+        if j in self.levels:
+            old = self.levels.pop(j)
+            mh, mk, mc, mn = self._merge(old, run)
+            self._enqueue(mh, mk, mc, mn)  # cascade continues via the queue
+        else:
+            self.levels[j] = run
+
     def push(self, h, keys, counts, n_active: int):
         self.total_occurrences += 0  # caller tracks occurrences if needed
-        j, run = self._truncate((h, keys, counts), int(n_active))
-        while j in self.levels:
-            old = self.levels.pop(j)
-            h, keys, counts, n_act = self._merge(old, run)
-            j, run = self._truncate((h, keys, counts), int(n_act))
-        self.levels[j] = run
+        self._enqueue(h, keys, counts, int(n_active))
 
     def push_uncompacted(self, h, keys, counts):
         """Push a run whose dead lanes may be interspersed (the fast chunk
         path). No device sync: the size class comes from the lane count; the
         first merge compacts and re-truncates."""
-        j = self._size_class(h.shape[0])
-        run = (h, keys, counts)
-        while j in self.levels:
-            old = self.levels.pop(j)
-            h, keys, counts, n_act = self._merge(old, run)
-            j, run = self._truncate((h, keys, counts), int(n_act))
-        self.levels[j] = run
+        self._enqueue(h, keys, counts, int(h.shape[0]))
 
     def n_resident_lanes(self) -> int:
-        return sum(r[0].shape[0] for r in self.levels.values()) + self._staged
+        return (
+            sum(r[0].shape[0] for r in self.levels.values())
+            + sum(p[0].shape[0] for p in self._pending)
+            + self._staged
+        )
 
     def finish(self):
         """Merge all levels; returns (h, keys, counts, n_active) or None if
         nothing was pushed."""
         self.flush_stage()
+        self._drain(block=True)
         runs = [self.levels.pop(j) for j in sorted(self.levels)]
         if not runs:
             return None
