@@ -107,6 +107,7 @@ def count_reads(
     on_full=None,
     mesh=None,
     return_run: bool = False,
+    return_acc: bool = False,
 ):
     """Count k-mers of all reads in `paths`; returns the table.
 
@@ -151,7 +152,7 @@ def count_reads(
     if mesh is not None and key_filter is None and mesh.shape["data"] > 1:
         return _count_reads_mesh(
             paths, k, chunk_len, mesh, canonical, min_qual_char, progress,
-            on_full, n_slots, return_run,
+            on_full, n_slots, return_run, return_acc,
         )
     acc = RunAccumulator(unit=max(1 << 14, n_windows // 8),
                          stage_lanes=8 * n_windows)
@@ -174,11 +175,14 @@ def count_reads(
         n_chunks += 1
         if progress is not None:
             progress(n_chunks, occupied)
+    if return_acc:
+        return acc
     return _finish_to_table(acc, k, return_run)
 
 
 def _count_reads_mesh(paths, k, chunk_len, mesh, canonical, min_qual_char,
-                      progress, on_full, n_slots, return_run=False):
+                      progress, on_full, n_slots, return_run=False,
+                      return_acc=False):
     """Data-parallel counting over the mesh's "data" devices: groups of D
     chunks extract + sort device-local; final fold builds one table
     (count/mesh_runs.py). Byte-identical to the single-device stream."""
@@ -218,6 +222,8 @@ def _count_reads_mesh(paths, k, chunk_len, mesh, canonical, min_qual_char,
             progress(n_chunks, acc.n_resident_lanes())
     if group:
         _push_group()
+    if return_acc:
+        return acc
     return _finish_to_table(acc, k, return_run)
 
 
@@ -314,3 +320,192 @@ def count_sequences(seqs: Iterable[str], k: int, n_slots: int = 1 << 16):
 
     run = chunk_to_run(jnp.asarray(codes), k)
     return build_table((run[0], run[1], run[2], int(run[3])), k)
+
+
+# -- chromosome-scale finish: per-level pulls + native host k-way merge -------
+
+# device finish budget: above this many resident lanes, the merge-all finish
+# (concat + sort of the whole record set: ~2x records transient, plus the
+# final run) risks the chip's HBM; pull per-level instead
+import os as _os
+
+SCALE_FINISH_LANES = int(_os.environ.get("JT_SCALE_FINISH_LANES",
+                                         str(120_000_000)))
+
+
+def pull_level_records(h, keys, counts, slice_lanes: int = 1 << 23):
+    """One resident level run -> host (h, keys, counts) trimmed to actives.
+
+    Same streamed, u8-escape-count transfer discipline as pull_run_records
+    (the d2h link is the scarcest resource); active lanes are a prefix of a
+    compacted level, so the dead tail trims on the first zero count."""
+    L = h.shape[0]
+    if L == 0:
+        return (np.zeros(0, np.uint32), np.zeros((0, keys.shape[1]), np.uint32),
+                np.zeros(0, np.uint32))
+    c8_dev = jnp.minimum(counts, 255).astype(jnp.uint8)
+    n_esc = int(jnp.sum((counts >= jnp.uint32(255)).astype(jnp.uint32)))
+    esc_idx = np.zeros(0, np.int64)
+    esc_val = np.zeros(0, np.uint32)
+    if n_esc:
+        cap = 1 << (int(n_esc) - 1).bit_length()
+        idx = jnp.nonzero(counts >= jnp.uint32(255), size=cap, fill_value=L)[0]
+        vals = jnp.where(idx < L, counts[jnp.minimum(idx, L - 1)], 0)
+        idx_np = np.asarray(idx).astype(np.int64)
+        m = idx_np < L
+        esc_idx, esc_val = idx_np[m], np.asarray(vals)[m]
+
+    W = keys.shape[1]
+    starts = list(range(0, L, slice_lanes))
+    pairs = []
+
+    def _slice(s):
+        e = min(s + slice_lanes, L)
+        tup = (h[s:e], keys[s:e], c8_dev[s:e])
+        for a in tup:
+            a.copy_to_host_async()
+        return tup
+
+    for s in starts[:2]:
+        pairs.append(_slice(s))
+    h_np = np.empty(L, np.uint32)
+    keys_np = np.empty((L, W), np.uint32)
+    counts_np = np.empty(L, np.uint32)
+    for i, s in enumerate(starts):
+        if i + 2 < len(starts):
+            pairs.append(_slice(starts[i + 2]))
+        hd, kd, cd = pairs[i]
+        e = min(s + slice_lanes, L)
+        h_np[s:e] = np.asarray(hd)
+        keys_np[s:e] = np.asarray(kd)
+        counts_np[s:e] = np.asarray(cd)
+        pairs[i] = None
+        lo = np.searchsorted(esc_idx, s)
+        hi = np.searchsorted(esc_idx, e)
+        counts_np[esc_idx[lo:hi]] = esc_val[lo:hi]
+    dead = np.nonzero(counts_np == 0)[0]
+    n_act = int(dead[0]) if len(dead) else L
+    return h_np[:n_act], keys_np[:n_act], counts_np[:n_act]
+
+
+def finish_runs_to_host(acc, slice_lanes: int = 1 << 23, progress=None):
+    """Pull every resident LSM level and k-way merge on the HOST.
+
+    The device merge-all finish doubles peak memory (concat + sort of the
+    full record set); at chromosome scale (~280 M distinct at 100 Mbp @40x)
+    that transient exceeds a 16 GB chip. Per-level pulls bound device memory
+    at the largest single level, and the native heap merge
+    (jt_merge_runs_multi — the host analog of jellyfish merge_files,
+    jf:jellyfish/merge_files.cc:45-101) restores the single distinct stream
+    in (mix32, key) order. Returns (h, keys, counts) host arrays, or None
+    for an empty accumulator."""
+    from jasper_tpu.io import native_jf
+
+    acc.flush_stage()
+    acc._drain(block=True)
+    streams = []
+    for j in sorted(acc.levels):
+        h, keys, counts = acc.levels.pop(j)
+        rows = [(h, keys, counts)] if h.ndim == 1 else [
+            (jnp.asarray(h[d]), jnp.asarray(keys[d]), jnp.asarray(counts[d]))
+            for d in range(h.shape[0])
+        ]
+        for hr, kr, cr in rows:
+            streams.append(pull_level_records(hr, kr, cr, slice_lanes))
+            if progress is not None:
+                progress(len(streams), sum(len(s[0]) for s in streams))
+    streams = [s for s in streams if len(s[0])]
+    if not streams:
+        return None
+    merged = native_jf.merge_runs_multi(streams)
+    if merged is None:
+        # numpy fallback: concat + radix argsort + segment-sum
+        hs = np.concatenate([s[0] for s in streams])
+        ks = np.concatenate([s[1] for s in streams], axis=0)
+        cs = np.concatenate([s[2] for s in streams]).astype(np.uint64)
+        W = ks.shape[1]
+        from jasper_tpu.io.jf import _radix_lexsort
+
+        order = _radix_lexsort([ks[:, j] for j in range(W)] + [hs])
+        hs, ks, cs = hs[order], ks[order], cs[order]
+        new = np.ones(len(hs), bool)
+        new[1:] = (hs[1:] != hs[:-1]) | (ks[1:] != ks[:-1]).any(axis=1)
+        seg = np.cumsum(new) - 1
+        sums = np.zeros(int(seg[-1]) + 1, np.uint64)
+        np.add.at(sums, seg, cs)
+        sums = np.minimum(sums, 0xFFFFFFFF).astype(np.uint32)
+        merged = (hs[new], ks[new], sums)
+    return merged
+
+
+def count_reads_to_host(
+    paths: Iterable[str],
+    k: int,
+    hash_size_hint: int | None = None,
+    mesh=None,
+    chunk_len: int = 1 << 23,
+    slice_lanes: int = 1 << 23,
+    canonical: bool = True,
+    min_qual_char: str | None = None,
+    progress=None,
+    tlog=None,
+    scale_finish_lanes: int | None = None,
+):
+    """Driver counting entry: count reads and land the distinct set on the
+    HOST — (host_table, keys uint32 [N, W], counts uint32 [N]) in
+    (mix32, key) order.
+
+    Finish strategy by resident size: small sets merge-all on device and
+    stream the single run's pull through the incremental waterfall builder
+    (transfer-overlapped); sets past the device finish budget
+    (SCALE_FINISH_LANES) pull per-level and merge on the host
+    (finish_runs_to_host), bounding device memory at the largest level."""
+    from jasper_tpu.table.host_table import HostKmerTable, TableOverflow
+
+    def _log(msg):
+        if tlog is not None:
+            tlog(msg)
+
+    acc = count_reads(paths, k, hash_size_hint=hash_size_hint, mesh=mesh,
+                      chunk_len=chunk_len, canonical=canonical,
+                      min_qual_char=min_qual_char, progress=progress,
+                      return_acc=True)
+    resident = acc.n_resident_lanes()
+    budget = SCALE_FINISH_LANES if scale_finish_lanes is None else scale_finish_lanes
+    _log(f"count: device counting done ({resident} resident lanes)")
+    if resident > budget:
+        from jasper_tpu.io import native_jf  # noqa: F401 (fallback inside)
+
+        merged = finish_runs_to_host(acc, slice_lanes)
+        if merged is None:
+            host_table = HostKmerTable.empty(k, 64)
+            return (host_table, np.zeros((0, host_table.W), np.uint32),
+                    np.zeros(0, np.uint32))
+        _, rkeys, rcounts = merged
+        _log(f"count: host-merge finish done ({len(rkeys)} records)")
+        host_table = HostKmerTable.from_sorted_run(k, rkeys, rcounts)
+        _log("count: host table built")
+        return host_table, rkeys, rcounts
+
+    run = acc.finish()
+    if run is None:
+        host_table = HostKmerTable.empty(k, 64)
+        return (host_table, np.zeros((0, host_table.W), np.uint32),
+                np.zeros(0, np.uint32))
+    n_rec = int(run[3])
+    builder = HostKmerTable.builder(k, n_rec)
+
+    def _consume(ks, cs, hs):
+        nonlocal builder
+        if builder is not None:
+            try:
+                builder.push(ks, cs, hs)
+            except TableOverflow:
+                builder = None  # rebuild below from the full arrays
+
+    rkeys, rcounts = pull_run_records(run, slice_lanes, consumer=_consume)
+    _log(f"count: run pull done ({n_rec} records)")
+    host_table = (builder.finish() if builder is not None
+                  else HostKmerTable.from_sorted_run(k, rkeys, rcounts))
+    _log("count: host table built")
+    return host_table, rkeys, rcounts

@@ -28,6 +28,18 @@ def histogram_rows(tab, k: int, high: int = HISTO_HIGH) -> list[tuple[int, int]]
     return [(int(c), int(hist[c])) for c in range(1, high + 2) if hist[c] > 0]
 
 
+def histogram_rows_from_counts(counts, high: int = HISTO_HIGH) -> list[tuple[int, int]]:
+    """Nonzero (col, freq) rows from a host count array — identical output
+    to histogram_rows(tab) but without needing the device table (the count
+    path pulls the distinct counts to the host anyway)."""
+    c = np.asarray(counts)
+    c = c[c > 0]
+    clipped = np.minimum(c.astype(np.int64), high + 1)
+    hist = np.bincount(clipped, minlength=high + 2)
+    return [(int(col), int(hist[col]))
+            for col in range(1, high + 2) if hist[col] > 0]
+
+
 def write_histogram(path: str, rows) -> None:
     with open(path, "w") as f:
         for col, freq in rows:

@@ -58,6 +58,13 @@ def _load():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
         ]
+        lib.jt_merge_runs_multi.restype = ctypes.c_int64
+        lib.jt_merge_runs_multi.argtypes = [
+            ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p,
+        ]
         lib.jt_jf_sort_pack.restype = None
         lib.jt_jf_sort_pack.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
@@ -143,3 +150,45 @@ def jf_sort_pack(keys: np.ndarray, counts: np.ndarray, pos: np.ndarray | None,
         out.ctypes.data_as(ctypes.c_void_p),
     )
     return out
+
+
+def merge_runs_multi(streams):
+    """K-way merge of sorted level runs on the host.
+
+    streams: list of (h uint32 [n], keys uint32 [n, W], counts uint32 [n]),
+    each sorted by (h, key MSB-first) with distinct keys within a stream.
+    Returns (h, keys, counts) of the merged distinct set in (h, key) order,
+    counts summed with the uint32 saturation clamp — the host analog of
+    jellyfish's merge_files k-way heap (jf:jellyfish/merge_files.cc:45-101).
+    None when the native library is unavailable.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    streams = [
+        (np.ascontiguousarray(h, np.uint32),
+         np.ascontiguousarray(k, np.uint32),
+         np.ascontiguousarray(c, np.uint32))
+        for h, k, c in streams
+        if len(h) > 0
+    ]
+    if not streams:
+        return (np.zeros(0, np.uint32), np.zeros((0, 1), np.uint32),
+                np.zeros(0, np.uint32))
+    W = streams[0][1].shape[1]
+    S = len(streams)
+    total = sum(len(h) for h, _, _ in streams)
+    hs = (ctypes.c_void_p * S)(*[h.ctypes.data for h, _, _ in streams])
+    ks = (ctypes.c_void_p * S)(*[k.ctypes.data for _, k, _ in streams])
+    cs = (ctypes.c_void_p * S)(*[c.ctypes.data for _, _, c in streams])
+    ns = (ctypes.c_int64 * S)(*[len(h) for h, _, _ in streams])
+    out_h = np.empty(total, np.uint32)
+    out_k = np.empty((total, W), np.uint32)
+    out_c = np.empty(total, np.uint32)
+    n_out = lib.jt_merge_runs_multi(
+        hs, ks, cs, ns, S, W,
+        out_h.ctypes.data_as(ctypes.c_void_p),
+        out_k.ctypes.data_as(ctypes.c_void_p),
+        out_c.ctypes.data_as(ctypes.c_void_p),
+    )
+    return out_h[:n_out], out_k[:n_out], out_c[:n_out]

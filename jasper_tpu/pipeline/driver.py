@@ -377,7 +377,6 @@ def run_pipeline(
     reference-style xargs -P process fan-out (host-only polishing; useful
     without a device)."""
     from jasper_tpu.count.histogram import (
-        histogram_rows,
         read_histogram,
         threshold_from_histogram,
         write_histogram,
@@ -386,7 +385,6 @@ def run_pipeline(
     from jasper_tpu.io.jf import load_jf_into_host_table, write_jf
     from jasper_tpu.polish.engine import CountSource
     from jasper_tpu.polish.runner import polish_file
-    from jasper_tpu.table import HostKmerTable
 
     from jasper_tpu.parallel.distributed import (
         barrier,
@@ -454,7 +452,8 @@ def run_pipeline(
             _rm(_marker(workdir, "no_cat"))
         else:
             log(f"Creating jellyfish database {jf_db}")
-            from jasper_tpu.count.counter import count_reads
+            from jasper_tpu.count.counter import count_reads_to_host
+            from jasper_tpu.count.histogram import histogram_rows_from_counts
             from jasper_tpu.parallel.scanner import local_data_mesh
 
             jf_size = total_file_bytes(reads) // 10
@@ -462,43 +461,18 @@ def run_pipeline(
             if mesh is not None:
                 log(f"Counting data-parallel over {mesh.shape['data']} devices")
             tlog("count: start (ingest + device counting)")
-            tab, run = count_reads(reads, k, hash_size_hint=max(jf_size, 1024),
-                                   mesh=mesh, return_run=True)
-            tlog("count: device counting done")
-            write_histogram(histo_csv, histogram_rows(tab, k))
+            # count + land the distinct set on the host: pulls the
+            # ~12 B/record run (not the ~40 B/record table) over the slow
+            # tunnel d2h link with host-table placement overlapping the
+            # transfer; chromosome-scale sets (past the device finish
+            # budget) pull per-level and k-way merge on the host instead
+            # (count_reads_to_host policy)
+            host_table, rkeys, rcounts = count_reads_to_host(
+                reads, k, hash_size_hint=max(jf_size, 1024), mesh=mesh,
+                tlog=tlog,
+            )
+            write_histogram(histo_csv, histogram_rows_from_counts(rcounts))
             tlog("count: histogram done")
-            del tab
-            # pull the ~12 B/record compacted run — NOT the ~40 B/record
-            # table — over the slow tunnel d2h link; host-table placement
-            # (cummax waterfall, no sort needed: the run is already in
-            # (mix32, key) order) overlaps the transfer slice by slice
-            if run is None:
-                host_table = HostKmerTable.empty(k, 64)
-                rkeys = np.zeros((0, host_table.W), np.uint32)
-                rcounts = np.zeros(0, np.uint32)
-            else:
-                from jasper_tpu.count.counter import pull_run_records
-                from jasper_tpu.table.host_table import TableOverflow
-
-                n_rec = int(run[3])
-                builder = HostKmerTable.builder(k, n_rec)
-
-                def _consume(ks, cs, hs):
-                    nonlocal builder
-                    if builder is not None:
-                        try:
-                            builder.push(ks, cs, hs)
-                        except TableOverflow:
-                            builder = None  # rebuild below from full arrays
-
-                rkeys, rcounts = pull_run_records(run, consumer=_consume)
-                del run
-                tlog(f"count: run pull done ({n_rec} records)")
-                host_table = (
-                    builder.finish() if builder is not None
-                    else HostKmerTable.from_sorted_run(k, rkeys, rcounts)
-                )
-                tlog("count: host table built")
             # the in-process polish stage reads the in-memory table; the .jf
             # artifact writes in the background (tmp+rename keeps a crashed
             # run restartable) and is joined before the pipeline returns.

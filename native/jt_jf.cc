@@ -201,4 +201,83 @@ void jt_jf_sort_pack(const uint32_t* keys, const uint64_t* counts,
     memcpy(out + i * rec, res + i * stride, rec);
 }
 
+// K-way merge of sorted level runs (the chromosome-scale counting finish).
+//
+// Each input stream s holds n[s] records (h uint32, key uint32[W],
+// count uint32), sorted ascending by (h, key MSB-first) with distinct keys
+// WITHIN a stream (the LSM level invariant). Equal keys across streams sum
+// (saturating at 2^32-1, the binary dump clamp). Outputs are the merged
+// distinct records in (h, key) order. Returns the output record count.
+//
+// Rationale: merging all levels on DEVICE doubles peak memory (concat+sort
+// of the full record set — ~16 GB transient at 280 M records, past a 16 GB
+// chip); per-level pulls + this host merge bound device memory at the
+// largest single level. Reference analog: jellyfish's k-way heap merge of
+// sorted .jf files, jf:jellyfish/merge_files.cc:45-101.
+extern "C" int64_t jt_merge_runs_multi(
+    const uint32_t* const* hs, const uint32_t* const* keys,
+    const uint32_t* const* counts, const int64_t* n, int n_streams, int W,
+    uint32_t* out_h, uint32_t* out_keys, uint32_t* out_counts) {
+  if (n_streams <= 0 || W <= 0) return 0;
+  // (h, key) comparison: h first, then key words MSB-first
+  auto less = [&](int a, int64_t ia, int b, int64_t ib) {
+    uint32_t ha = hs[a][ia], hb = hs[b][ib];
+    if (ha != hb) return ha < hb;
+    const uint32_t* ka = keys[a] + ia * W;
+    const uint32_t* kb = keys[b] + ib * W;
+    for (int j = W - 1; j >= 0; --j)
+      if (ka[j] != kb[j]) return ka[j] < kb[j];
+    return false;
+  };
+  // simple heap over stream heads (n_streams is small: levels
+  // x devices, typically < 64)
+  std::vector<int64_t> idx(n_streams, 0);
+  std::vector<int> heap;
+  heap.reserve(n_streams);
+  auto heap_less = [&](int a, int b) { return less(a, idx[a], b, idx[b]); };
+  auto sift_down = [&](size_t i) {
+    for (;;) {
+      size_t l = 2 * i + 1, r = 2 * i + 2, m = i;
+      if (l < heap.size() && heap_less(heap[l], heap[m])) m = l;
+      if (r < heap.size() && heap_less(heap[r], heap[m])) m = r;
+      if (m == i) break;
+      std::swap(heap[i], heap[m]);
+      i = m;
+    }
+  };
+  for (int s = 0; s < n_streams; ++s)
+    if (n[s] > 0) heap.push_back(s);
+  for (int64_t i = (int64_t)heap.size() / 2 - 1; i >= 0; --i) sift_down(i);
+
+  int64_t out = -1;
+  while (!heap.empty()) {
+    int s = heap[0];
+    int64_t i = idx[s];
+    bool same = out >= 0 && out_h[out] == hs[s][i];
+    if (same) {
+      const uint32_t* kk = keys[s] + i * W;
+      for (int j = 0; j < W; ++j)
+        if (out_keys[out * W + j] != kk[j]) {
+          same = false;
+          break;
+        }
+    }
+    if (same) {
+      uint64_t c = (uint64_t)out_counts[out] + counts[s][i];
+      out_counts[out] = c > 0xFFFFFFFFull ? 0xFFFFFFFFu : (uint32_t)c;
+    } else {
+      ++out;
+      out_h[out] = hs[s][i];
+      memcpy(out_keys + out * W, keys[s] + i * W, 4 * (size_t)W);
+      out_counts[out] = counts[s][i];
+    }
+    if (++idx[s] >= n[s]) {
+      heap[0] = heap.back();
+      heap.pop_back();
+    }
+    sift_down(0);
+  }
+  return out + 1;
+}
+
 }  // extern "C"

@@ -223,3 +223,73 @@ def test_count_wide_k_beyond_240(k, tmp_path):
     keys2, counts2 = host2.items()
     assert np.array_equal(np.sort(counts), np.sort(counts2))
     assert host2.k == k
+
+
+def test_host_finish_matches_device_finish(tmp_path):
+    """count_reads_to_host's chromosome-scale finish (per-level pulls +
+    native host k-way merge, forced via scale_finish_lanes=0) must produce
+    the same table items and the same .jf bytes as the device merge-all
+    finish — the reference analog is merge_files equivalence
+    (jf:tests/merge.sh: direct count == merged count)."""
+    from jasper_tpu.count.counter import count_reads_to_host
+    from jasper_tpu.io.jf import dump_table_to_jf
+
+    k = 15
+    rng = np.random.default_rng(77)
+    reads = [
+        "".join(rng.choice(list("ACGTN"), p=[0.245, 0.245, 0.245, 0.245, 0.02])
+                for _ in range(rng.integers(40, 160)))
+        for _ in range(250)
+    ]
+    fq = tmp_path / "r.fq"
+    with open(fq, "w") as f:
+        for i, r in enumerate(reads):
+            f.write(f"@r{i}\n{r}\n+\n{'I' * len(r)}\n")
+
+    # tiny chunks force many stage flushes and several LSM levels
+    tab_dev, k1, c1 = count_reads_to_host([str(fq)], k, chunk_len=1024)
+    tab_host, k2, c2 = count_reads_to_host([str(fq)], k, chunk_len=1024,
+                                           scale_finish_lanes=0)
+    assert np.array_equal(k1, k2)
+    assert np.array_equal(c1, c2)
+    assert np.array_equal(tab_dev.tab, tab_host.tab)
+    check_table_matches(tab_host.tab, k, oracle_counts(reads, k))
+
+    p1, p2 = tmp_path / "a.jf", tmp_path / "b.jf"
+    dump_table_to_jf(str(p1), tab_dev)
+    dump_table_to_jf(str(p2), tab_host)
+
+    def records(p):
+        with open(p, "rb") as f:
+            hlen = int(f.read(9))
+            f.seek(9 + hlen)
+            return f.read()
+
+    assert records(p1) == records(p2)
+
+
+def test_host_finish_mesh_matches(tmp_path):
+    """The host-merge finish over a mesh accumulator (per-device per-level
+    streams) must match the single-device result."""
+    import jax
+    from jax.sharding import Mesh
+
+    from jasper_tpu.count.counter import count_reads_to_host
+
+    k = 13
+    rng = np.random.default_rng(31)
+    reads = [
+        "".join(rng.choice(list("ACGT")) for _ in range(rng.integers(30, 120)))
+        for _ in range(200)
+    ]
+    fq = tmp_path / "r.fq"
+    with open(fq, "w") as f:
+        for i, r in enumerate(reads):
+            f.write(f"@r{i}\n{r}\n+\n{'I' * len(r)}\n")
+
+    _, k1, c1 = count_reads_to_host([str(fq)], k, chunk_len=1024)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("data",))
+    _, k2, c2 = count_reads_to_host([str(fq)], k, chunk_len=1024, mesh=mesh,
+                                    scale_finish_lanes=0)
+    assert np.array_equal(k1, k2)
+    assert np.array_equal(c1, c2)
