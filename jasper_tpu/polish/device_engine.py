@@ -120,6 +120,12 @@ class DevicePolishEngine(PolishEngine):
         self.scanner = scanner
 
     def run_pass(self, seqs: dict[str, str], fix: bool) -> PassResult:
+        import os
+        import time
+
+        profile = os.environ.get("JT_POLISH_PROFILE")
+        t_prepare = 0.0
+        t0_pass = time.perf_counter()
         k, q = self.k, self.q
         total_wrong = 0
         total_kmers = 0
@@ -127,7 +133,9 @@ class DevicePolishEngine(PolishEngine):
         out = dict(seqs)
         for name, seq in out.items():
             total_kmers += len(seq) - k + 1  # j.py:51
+            t0 = time.perf_counter()
             arrays = self.scanner.prepare(seq, self.solid_thre)
+            t_prepare += time.perf_counter() - t0
             orig_len = len(seq)
             clean_from = 0  # first current-coord position allowed to map
             i = 0
@@ -195,4 +203,9 @@ class DevicePolishEngine(PolishEngine):
                     i += k - 1
             out[name] = seq
             total_wrong += wrong
+        if profile:
+            t_all = time.perf_counter() - t0_pass
+            print(f"[polish-profile] prepare(device scan) {t_prepare:.1f}s, "
+                  f"host repair walk {t_all - t_prepare:.1f}s, "
+                  f"{len(fixes)} fixes", flush=True)
         return PassResult(out, total_wrong, total_kmers, fixes)
