@@ -108,6 +108,7 @@ def count_reads(
     mesh=None,
     return_run: bool = False,
     return_acc: bool = False,
+    on_full_run=None,
 ):
     """Count k-mers of all reads in `paths`; returns the table.
 
@@ -152,7 +153,7 @@ def count_reads(
     if mesh is not None and key_filter is None and mesh.shape["data"] > 1:
         return _count_reads_mesh(
             paths, k, chunk_len, mesh, canonical, min_qual_char, progress,
-            on_full, n_slots, return_run, return_acc,
+            on_full, n_slots, return_run, return_acc, on_full_run,
         )
     acc = RunAccumulator(unit=max(1 << 14, n_windows // 8),
                          stage_lanes=8 * n_windows)
@@ -162,6 +163,12 @@ def count_reads(
         if on_full is not None and acc.n_resident_lanes() > n_slots:
             on_full(_finish_to_table(acc, k))
             acc = RunAccumulator(unit=acc.unit)
+        if on_full_run is not None and acc.n_resident_lanes() > n_slots:
+            # eager eviction: the caller pulls the resident levels to host
+            # and counting resumes into a fresh ladder (device memory stays
+            # bounded regardless of total distinct keys)
+            on_full_run(acc)
+            acc = RunAccumulator(unit=acc.unit, stage_lanes=acc.stage_lanes)
         if key_filter is None:
             keys, valid = extract_windows(jnp.asarray(codes), k, canonical)
             acc.push_raw(keys, valid)
@@ -182,7 +189,7 @@ def count_reads(
 
 def _count_reads_mesh(paths, k, chunk_len, mesh, canonical, min_qual_char,
                       progress, on_full, n_slots, return_run=False,
-                      return_acc=False):
+                      return_acc=False, on_full_run=None):
     """Data-parallel counting over the mesh's "data" devices: groups of D
     chunks extract + sort device-local; final fold builds one table
     (count/mesh_runs.py). Byte-identical to the single-device stream."""
@@ -212,6 +219,12 @@ def _count_reads_mesh(paths, k, chunk_len, mesh, canonical, min_qual_char,
             if group:
                 _push_group()
             on_full(_finish_to_table(acc, k))
+            acc = MeshRunAccumulator(mesh, unit=acc.unit,
+                                     stage_lanes=acc.stage_lanes)
+        if on_full_run is not None and acc.n_resident_lanes() > n_slots:
+            if group:
+                _push_group()
+            on_full_run(acc)
             acc = MeshRunAccumulator(mesh, unit=acc.unit,
                                      stage_lanes=acc.stage_lanes)
         group.append(codes)
@@ -248,12 +261,16 @@ def pull_run_records(run, slice_lanes: int = 1 << 23, consumer=None):
 
     The pull streams in slice_lanes slices with the NEXT slice's
     device->host copy in flight while the previous one lands, and calls
-    ``consumer(keys_slice, counts_slice)`` per slice so host-side work
-    (hashing + waterfall placement) overlaps the transfer — the link runs
-    ~25 MB/s while the host CPU is otherwise idle (BASELINE.md).
+    ``consumer(keys_slice, counts_slice, h_slice)`` per slice so host-side
+    work (waterfall placement) overlaps the transfer — the link runs
+    ~25 MB/s while the host CPU is otherwise idle (BASELINE.md). When the
+    native library is present, h is NOT pulled: mix32 recomputes from the
+    landed keys at memory speed (jt_mix32_batch), saving 4 B/record of d2h
+    (~30% of the pull).
     """
-    import jax
+    from jasper_tpu.io import native_jf
 
+    pull_h = not native_jf.available()
     h, keys, counts, n_active = run
     n = int(n_active)
     W = keys.shape[1]
@@ -279,9 +296,10 @@ def pull_run_records(run, slice_lanes: int = 1 << 23, consumer=None):
 
     def _slice(s):
         e = min(s + slice_lanes, n)
-        tup = (keys[s:e], c8_dev[s:e], h[s:e])
+        tup = (keys[s:e], c8_dev[s:e], h[s:e] if pull_h else None)
         for a in tup:
-            a.copy_to_host_async()
+            if a is not None:
+                a.copy_to_host_async()
         return tup
 
     for s in starts[:2]:
@@ -295,7 +313,8 @@ def pull_run_records(run, slice_lanes: int = 1 << 23, consumer=None):
         e = min(s + slice_lanes, n)
         keys_np[s:e] = np.asarray(kd)
         counts_np[s:e] = np.asarray(cd)
-        h_np = np.asarray(hd)
+        h_np = (np.asarray(hd) if pull_h
+                else native_jf.mix32_batch(keys_np[s:e]))
         pairs[i] = None  # free device refs
         lo = np.searchsorted(esc_idx, s)
         hi = np.searchsorted(esc_idx, e)
@@ -333,63 +352,113 @@ SCALE_FINISH_LANES = int(_os.environ.get("JT_SCALE_FINISH_LANES",
                                          str(120_000_000)))
 
 
-def pull_level_records(h, keys, counts, slice_lanes: int = 1 << 23):
-    """One resident level run -> host (h, keys, counts) trimmed to actives.
+_ESC_CAP = 65536  # fixed async escape-list capacity (counts >= 65535 keys)
 
-    Same streamed, u8-escape-count transfer discipline as pull_run_records
-    (the d2h link is the scarcest resource); active lanes are a prefix of a
-    compacted level, so the dead tail trims on the first zero count."""
+
+def start_level_pull(h, keys, counts, slice_lanes: int = 1 << 23,
+                     pull_h: bool | None = None):
+    """Issue ALL async d2h copies for one level run WITHOUT any host sync;
+    returns a thunk whose call materializes (h, keys, counts) trimmed to
+    actives.
+
+    Built for overlap: the transfers proceed while the caller keeps
+    dispatching device work (counting continues during an eviction), and
+    the thunk only blocks on whatever hasn't landed yet. Counts travel as
+    uint16 with a FIXED-capacity escape list for >= 65535 (a handful of
+    ultra-high-frequency k-mers per genome; sizing it statically avoids the
+    n_esc host sync the u8-escape scheme needs). h is recomputed on the
+    host via the native mix32 kernel instead of pulled (-4 B/record of d2h)
+    unless the native library is missing (pull_h=None auto-detects)."""
+    from jasper_tpu.io import native_jf
+
+    if pull_h is None:
+        pull_h = not native_jf.available()
     L = h.shape[0]
-    if L == 0:
-        return (np.zeros(0, np.uint32), np.zeros((0, keys.shape[1]), np.uint32),
-                np.zeros(0, np.uint32))
-    c8_dev = jnp.minimum(counts, 255).astype(jnp.uint8)
-    n_esc = int(jnp.sum((counts >= jnp.uint32(255)).astype(jnp.uint32)))
-    esc_idx = np.zeros(0, np.int64)
-    esc_val = np.zeros(0, np.uint32)
-    if n_esc:
-        cap = 1 << (int(n_esc) - 1).bit_length()
-        idx = jnp.nonzero(counts >= jnp.uint32(255), size=cap, fill_value=L)[0]
-        vals = jnp.where(idx < L, counts[jnp.minimum(idx, L - 1)], 0)
-        idx_np = np.asarray(idx).astype(np.int64)
-        m = idx_np < L
-        esc_idx, esc_val = idx_np[m], np.asarray(vals)[m]
-
     W = keys.shape[1]
-    starts = list(range(0, L, slice_lanes))
-    pairs = []
-
-    def _slice(s):
+    if L == 0:
+        def _empty():
+            return (np.zeros(0, np.uint32), np.zeros((0, W), np.uint32),
+                    np.zeros(0, np.uint32))
+        return _empty
+    c16 = jnp.minimum(counts, 65535).astype(jnp.uint16)
+    big = counts >= jnp.uint32(65535)
+    esc_idx_dev = jnp.nonzero(big, size=_ESC_CAP, fill_value=L)[0]
+    esc_val_dev = jnp.where(esc_idx_dev < L,
+                            counts[jnp.minimum(esc_idx_dev, L - 1)], 0)
+    slices = []
+    for s in range(0, L, slice_lanes):
         e = min(s + slice_lanes, L)
-        tup = (h[s:e], keys[s:e], c8_dev[s:e])
+        tup = ((h[s:e] if pull_h else None), keys[s:e], c16[s:e])
         for a in tup:
-            a.copy_to_host_async()
-        return tup
+            if a is not None:
+                a.copy_to_host_async()
+        slices.append((s, e, tup))
+    for a in (esc_idx_dev, esc_val_dev):
+        a.copy_to_host_async()
 
-    for s in starts[:2]:
-        pairs.append(_slice(s))
-    h_np = np.empty(L, np.uint32)
-    keys_np = np.empty((L, W), np.uint32)
-    counts_np = np.empty(L, np.uint32)
-    for i, s in enumerate(starts):
-        if i + 2 < len(starts):
-            pairs.append(_slice(starts[i + 2]))
-        hd, kd, cd = pairs[i]
-        e = min(s + slice_lanes, L)
-        h_np[s:e] = np.asarray(hd)
-        keys_np[s:e] = np.asarray(kd)
-        counts_np[s:e] = np.asarray(cd)
-        pairs[i] = None
-        lo = np.searchsorted(esc_idx, s)
-        hi = np.searchsorted(esc_idx, e)
-        counts_np[esc_idx[lo:hi]] = esc_val[lo:hi]
-    dead = np.nonzero(counts_np == 0)[0]
-    n_act = int(dead[0]) if len(dead) else L
-    return h_np[:n_act], keys_np[:n_act], counts_np[:n_act]
+    def materialize():
+        h_np = np.empty(L, np.uint32) if pull_h else None
+        keys_np = np.empty((L, W), np.uint32)
+        counts_np = np.empty(L, np.uint32)
+        for s, e, (hd, kd, cd) in slices:
+            if pull_h:
+                h_np[s:e] = np.asarray(hd)
+            keys_np[s:e] = np.asarray(kd)
+            counts_np[s:e] = np.asarray(cd)
+        slices.clear()  # free device refs
+        idx_np = np.asarray(esc_idx_dev).astype(np.int64)
+        m = idx_np < L
+        if m.all():
+            # escape capacity overflow (pathological): exact blocking re-pull
+            counts_np = np.asarray(counts)
+        else:
+            counts_np[idx_np[m]] = np.asarray(esc_val_dev)[m]
+        dead = np.nonzero(counts_np == 0)[0]
+        n_act = int(dead[0]) if len(dead) else L
+        if pull_h:
+            return h_np[:n_act], keys_np[:n_act], counts_np[:n_act]
+        hh = native_jf.mix32_batch(keys_np[:n_act])
+        return hh, keys_np[:n_act], counts_np[:n_act]
+
+    return materialize
 
 
-def finish_runs_to_host(acc, slice_lanes: int = 1 << 23, progress=None):
-    """Pull every resident LSM level and k-way merge on the HOST.
+def pull_level_records(h, keys, counts, slice_lanes: int = 1 << 23):
+    """One resident level run -> host (h, keys, counts) trimmed to actives
+    (blocking convenience over start_level_pull)."""
+    return start_level_pull(h, keys, counts, slice_lanes)()
+
+
+def start_all_level_pulls(acc, slice_lanes: int = 1 << 23):
+    """Flush + drain the accumulator and ISSUE async pulls for every
+    resident level (mesh accumulators contribute one pull per device row);
+    returns the materialization thunks. The transfers ride the d2h link
+    while the caller keeps counting — eviction overlap."""
+    acc.flush_stage()
+    acc._drain(block=True)
+    thunks = []
+    for j in sorted(acc.levels):
+        h, keys, counts = acc.levels.pop(j)
+        rows = [(h, keys, counts)] if h.ndim == 1 else [
+            (jnp.asarray(h[d]), jnp.asarray(keys[d]), jnp.asarray(counts[d]))
+            for d in range(h.shape[0])
+        ]
+        del h, keys, counts
+        for hr, kr, cr in rows:
+            thunks.append(start_level_pull(hr, kr, cr, slice_lanes))
+    return thunks
+
+
+def pull_all_levels(acc, slice_lanes: int = 1 << 23):
+    """Blocking form of start_all_level_pulls: list of non-empty
+    (h, keys, counts) streams."""
+    streams = [t() for t in start_all_level_pulls(acc, slice_lanes)]
+    return [s for s in streams if len(s[0])]
+
+
+def finish_runs_to_host(acc, slice_lanes: int = 1 << 23, extra_streams=()):
+    """Pull every resident LSM level and k-way merge on the HOST (plus any
+    previously evicted streams).
 
     The device merge-all finish doubles peak memory (concat + sort of the
     full record set); at chromosome scale (~280 M distinct at 100 Mbp @40x)
@@ -401,20 +470,7 @@ def finish_runs_to_host(acc, slice_lanes: int = 1 << 23, progress=None):
     for an empty accumulator."""
     from jasper_tpu.io import native_jf
 
-    acc.flush_stage()
-    acc._drain(block=True)
-    streams = []
-    for j in sorted(acc.levels):
-        h, keys, counts = acc.levels.pop(j)
-        rows = [(h, keys, counts)] if h.ndim == 1 else [
-            (jnp.asarray(h[d]), jnp.asarray(keys[d]), jnp.asarray(counts[d]))
-            for d in range(h.shape[0])
-        ]
-        for hr, kr, cr in rows:
-            streams.append(pull_level_records(hr, kr, cr, slice_lanes))
-            if progress is not None:
-                progress(len(streams), sum(len(s[0]) for s in streams))
-    streams = [s for s in streams if len(s[0])]
+    streams = list(extra_streams) + pull_all_levels(acc, slice_lanes)
     if not streams:
         return None
     merged = native_jf.merge_runs_multi(streams)
@@ -459,24 +515,49 @@ def count_reads_to_host(
     stream the single run's pull through the incremental waterfall builder
     (transfer-overlapped); sets past the device finish budget
     (SCALE_FINISH_LANES) pull per-level and merge on the host
-    (finish_runs_to_host), bounding device memory at the largest level."""
+    (finish_runs_to_host), bounding device memory at the largest level.
+    Sets that outgrow even that DURING counting (chr1-scale) evict their
+    resident levels to the host mid-stream (on_full_run at 2x the budget)
+    so device memory stays bounded regardless of total distinct keys."""
     from jasper_tpu.table.host_table import HostKmerTable, TableOverflow
 
     def _log(msg):
         if tlog is not None:
             tlog(msg)
 
+    budget = SCALE_FINISH_LANES if scale_finish_lanes is None else scale_finish_lanes
+    evicted: list = []
+    pending_pulls: list = []
+
+    def _materialize_pending():
+        for t in pending_pulls:
+            s = t()
+            if len(s[0]):
+                evicted.append(s)
+        pending_pulls.clear()
+
+    def _evict(acc_):
+        # previous eviction's transfers had the whole intervening counting
+        # interval to land; materialize them, then issue this eviction's
+        # async pulls and return immediately — counting resumes while the
+        # new transfers ride the d2h link
+        _materialize_pending()
+        pending_pulls.extend(start_all_level_pulls(acc_, slice_lanes))
+        _log(f"count: eviction started ({len(pending_pulls)} level runs in "
+             f"flight, {sum(len(s[0]) for s in evicted)} records landed)")
+
     acc = count_reads(paths, k, hash_size_hint=hash_size_hint, mesh=mesh,
                       chunk_len=chunk_len, canonical=canonical,
                       min_qual_char=min_qual_char, progress=progress,
+                      n_slots=max(2 * budget, 1024), on_full_run=_evict,
                       return_acc=True)
     resident = acc.n_resident_lanes()
-    budget = SCALE_FINISH_LANES if scale_finish_lanes is None else scale_finish_lanes
     _log(f"count: device counting done ({resident} resident lanes)")
-    if resident > budget:
+    _materialize_pending()
+    if evicted or resident > budget:
         from jasper_tpu.io import native_jf  # noqa: F401 (fallback inside)
 
-        merged = finish_runs_to_host(acc, slice_lanes)
+        merged = finish_runs_to_host(acc, slice_lanes, extra_streams=evicted)
         if merged is None:
             host_table = HostKmerTable.empty(k, 64)
             return (host_table, np.zeros((0, host_table.W), np.uint32),

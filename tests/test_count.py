@@ -293,3 +293,28 @@ def test_host_finish_mesh_matches(tmp_path):
                                     scale_finish_lanes=0)
     assert np.array_equal(k1, k2)
     assert np.array_equal(c1, c2)
+
+
+def test_eviction_overlap_matches(tmp_path):
+    """Mid-count level eviction (async pulls overlapped with counting,
+    scale_finish_lanes=0 => evict constantly) must produce the identical
+    distinct set as the classic device finish."""
+    from jasper_tpu.count.counter import count_reads_to_host
+
+    k = 15
+    rng = np.random.default_rng(6)
+    reads = [
+        "".join(rng.choice(list("ACGT")) for _ in range(rng.integers(40, 140)))
+        for _ in range(300)
+    ]
+    fq = tmp_path / "r.fq"
+    with open(fq, "w") as f:
+        for i, r in enumerate(reads):
+            f.write(f"@r{i}\n{r}\n+\n{'I' * len(r)}\n")
+    logs = []
+    _, k1, c1 = count_reads_to_host([str(fq)], k, chunk_len=1024)
+    _, k2, c2 = count_reads_to_host([str(fq)], k, chunk_len=1024,
+                                    scale_finish_lanes=0, tlog=logs.append)
+    assert any("eviction started" in l for l in logs)
+    assert np.array_equal(k1, k2)
+    assert np.array_equal(c1, c2)
