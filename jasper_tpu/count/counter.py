@@ -109,6 +109,9 @@ def count_reads(
     return_run: bool = False,
     return_acc: bool = False,
     on_full_run=None,
+    partition=None,
+    codes_sink=None,
+    codes_source=None,
 ):
     """Count k-mers of all reads in `paths`; returns the table.
 
@@ -154,12 +157,17 @@ def count_reads(
         return _count_reads_mesh(
             paths, k, chunk_len, mesh, canonical, min_qual_char, progress,
             on_full, n_slots, return_run, return_acc, on_full_run,
+            partition, codes_sink, codes_source,
         )
     acc = RunAccumulator(unit=max(1 << 14, n_windows // 8),
                          stage_lanes=8 * n_windows)
     occupied = 0
     n_chunks = 0
-    for codes, _fill in _prefetch(stream_codes(paths, k, chunk_len, min_qual_char)):
+    chunk_iter = (iter(codes_source) if codes_source is not None
+                  else _prefetch(stream_codes(paths, k, chunk_len, min_qual_char)))
+    for codes, _fill in chunk_iter:
+        if codes_sink is not None:
+            codes_sink.append((codes, _fill))
         if on_full is not None and acc.n_resident_lanes() > n_slots:
             on_full(_finish_to_table(acc, k))
             acc = RunAccumulator(unit=acc.unit)
@@ -170,7 +178,8 @@ def count_reads(
             on_full_run(acc)
             acc = RunAccumulator(unit=acc.unit, stage_lanes=acc.stage_lanes)
         if key_filter is None:
-            keys, valid = extract_windows(jnp.asarray(codes), k, canonical)
+            keys, valid = extract_windows(jnp.asarray(codes), k, canonical,
+                                          partition=partition)
             acc.push_raw(keys, valid)
         else:
             ukeys, mult = _unique_chunk_keys(codes, k, canonical)
@@ -189,7 +198,8 @@ def count_reads(
 
 def _count_reads_mesh(paths, k, chunk_len, mesh, canonical, min_qual_char,
                       progress, on_full, n_slots, return_run=False,
-                      return_acc=False, on_full_run=None):
+                      return_acc=False, on_full_run=None, partition=None,
+                      codes_sink=None, codes_source=None):
     """Data-parallel counting over the mesh's "data" devices: groups of D
     chunks extract + sort device-local; final fold builds one table
     (count/mesh_runs.py). Byte-identical to the single-device stream."""
@@ -201,7 +211,8 @@ def _count_reads_mesh(paths, k, chunk_len, mesh, canonical, min_qual_char,
     n_windows = chunk_len - k + 1
     acc = MeshRunAccumulator(mesh, unit=max(1 << 14, n_windows // 8),
                              stage_lanes=8 * n_windows)
-    vextract = jax.vmap(lambda c: extract_windows(c, k, canonical))
+    vextract = jax.vmap(
+        lambda c: extract_windows(c, k, canonical, partition=partition))
     group: list[np.ndarray] = []
     n_chunks = 0
 
@@ -214,7 +225,11 @@ def _count_reads_mesh(paths, k, chunk_len, mesh, canonical, min_qual_char,
         keys, valid = vextract(jax.device_put(batch, acc.sharding))
         acc.push_raw(keys, valid)
 
-    for codes, _fill in _prefetch(stream_codes(paths, k, chunk_len, min_qual_char)):
+    chunk_iter = (iter(codes_source) if codes_source is not None
+                  else _prefetch(stream_codes(paths, k, chunk_len, min_qual_char)))
+    for codes, _fill in chunk_iter:
+        if codes_sink is not None:
+            codes_sink.append((codes, _fill))
         if on_full is not None and acc.n_resident_lanes() > n_slots:
             if group:
                 _push_group()
@@ -473,6 +488,16 @@ def finish_runs_to_host(acc, slice_lanes: int = 1 << 23, extra_streams=()):
     streams = list(extra_streams) + pull_all_levels(acc, slice_lanes)
     if not streams:
         return None
+    return merge_host_streams(streams)
+
+
+def merge_host_streams(streams):
+    """Merge sorted distinct-key streams on the host (native k-way heap,
+    numpy radix fallback). streams: [(h, keys, counts)] each (h, key)
+    ascending with distinct keys within a stream; counts sum (saturating).
+    """
+    from jasper_tpu.io import native_jf
+
     merged = native_jf.merge_runs_multi(streams)
     if merged is None:
         # numpy fallback: concat + radix argsort + segment-sum
@@ -526,6 +551,32 @@ def count_reads_to_host(
             tlog(msg)
 
     budget = SCALE_FINISH_LANES if scale_finish_lanes is None else scale_finish_lanes
+
+    # hash-partitioned multi-pass counting: when the distinct-set ESTIMATE
+    # (jellyfish's own -s heuristic, reads bytes/10) far exceeds the device
+    # finish budget and the inputs are re-readable files, count in P passes
+    # over the SAME reads, pass p keeping only windows whose mix32 top bits
+    # select partition p. Per-pass distinct sets are budget-sized (classic
+    # device LSM per pass), partitions are disjoint so nothing is pulled
+    # twice, and pass p's async pulls overlap pass p+1's counting. Codes
+    # chunks are parsed once and cached in RAM (JT_CODES_CACHE_BYTES cap)
+    # so re-passes skip the FASTQ parse. The reference analog is
+    # jellyfish's bounded-memory --disk dump-and-merge
+    # (count_main.cc:187-192,347-373) — same capability, no disk.
+    est = hash_size_hint if hash_size_hint else 0
+    P = 1
+    env_p = _os.environ.get("JT_COUNT_PARTITIONS")
+    if env_p:
+        P = max(1, int(env_p))
+    else:
+        while est // P > 2 * budget and P < 16:
+            P *= 2
+    seekable = all(isinstance(q, str) for q in paths)
+    if P > 1 and seekable:
+        return _count_partitioned(
+            paths, k, P, mesh, chunk_len, slice_lanes, canonical,
+            min_qual_char, progress, _log)
+
     evicted: list = []
     pending_pulls: list = []
 
@@ -588,5 +639,51 @@ def count_reads_to_host(
     _log(f"count: run pull done ({n_rec} records)")
     host_table = (builder.finish() if builder is not None
                   else HostKmerTable.from_sorted_run(k, rkeys, rcounts))
+    _log("count: host table built")
+    return host_table, rkeys, rcounts
+
+
+def _count_partitioned(paths, k, P, mesh, chunk_len, slice_lanes, canonical,
+                       min_qual_char, progress, _log):
+    """P-pass hash-partitioned counting (see count_reads_to_host)."""
+    from jasper_tpu.io.fastx import total_file_bytes as _tfb
+    from jasper_tpu.table.host_table import HostKmerTable
+
+    cache_cap = int(_os.environ.get("JT_CODES_CACHE_BYTES", str(16 << 30)))
+    use_cache = _tfb(list(paths)) <= cache_cap
+    codes_cache: list | None = [] if use_cache else None
+    parts: list = []
+    pending: list = []
+
+    def _materialize_prev():
+        if not pending:
+            return
+        streams = [t() for t in pending.pop()]
+        streams = [s for s in streams if len(s[0])]
+        if streams:
+            parts.append(merge_host_streams(streams))
+
+    for p_idx in range(P):
+        sink = codes_cache if (use_cache and p_idx == 0) else None
+        source = codes_cache if (use_cache and p_idx > 0) else None
+        acc = count_reads(
+            paths, k, mesh=mesh, chunk_len=chunk_len, canonical=canonical,
+            min_qual_char=min_qual_char, progress=progress,
+            partition=(p_idx, P), return_acc=True,
+            codes_sink=sink, codes_source=source,
+        )
+        _materialize_prev()  # previous pass's transfers have landed by now
+        pending.append(start_all_level_pulls(acc, slice_lanes))
+        _log(f"count: partition pass {p_idx + 1}/{P} counted, pull in flight")
+    _materialize_prev()
+    if not parts:
+        host_table = HostKmerTable.empty(k, 64)
+        return (host_table, np.zeros((0, host_table.W), np.uint32),
+                np.zeros(0, np.uint32))
+    rkeys = np.concatenate([pp[1] for pp in parts], axis=0)
+    rcounts = np.concatenate([pp[2] for pp in parts])
+    del parts
+    _log(f"count: partitioned finish done ({len(rkeys)} records)")
+    host_table = HostKmerTable.from_sorted_run(k, rkeys, rcounts)
     _log("count: host table built")
     return host_table, rkeys, rcounts

@@ -223,17 +223,32 @@ def _flush_stage_jit(key_parts, valid_parts):
     return _compact(h, skeys, totals)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "canonical"))
-def extract_windows(codes, k: int, canonical: bool = True):
+@functools.partial(jax.jit, static_argnames=("k", "canonical", "partition"))
+def extract_windows(codes, k: int, canonical: bool = True, partition=None):
     """Code chunk -> (keys, valid) on device (the staging feed for
     RunAccumulator.push_raw). Canonical extraction uses the funnel-shift
     fast path in GROUPED order (the sort downstream is order-insensitive);
-    output may be padded with invalid lanes to a multiple of 16."""
+    output may be padded with invalid lanes to a multiple of 16.
+
+    partition=(p, P) (P a power of two) keeps only windows whose mix32 hash
+    falls in the p-th of P equal top-bit ranges — the hash-partitioned
+    multi-pass counting filter (chromosome-scale DBs count in P passes so
+    each pass's distinct set fits the device finish budget; partitions are
+    disjoint and their (h, key)-sorted runs concatenate in global order)."""
     from jasper_tpu.ops.kmer import canonical_windows_fast, forward_windows
 
     if canonical:
-        return canonical_windows_fast(jnp, codes, k, grouped=True)
-    return forward_windows(jnp, codes, k)
+        keys, valid = canonical_windows_fast(jnp, codes, k, grouped=True)
+    else:
+        keys, valid = forward_windows(jnp, codes, k)
+    if partition is not None:
+        p, P = partition
+        assert P & (P - 1) == 0 and 0 <= p < P, "P must be a power of two"
+        if P > 1:
+            bits = P.bit_length() - 1
+            h = mix32(jnp, keys)
+            valid = valid & ((h >> jnp.uint32(32 - bits)) == jnp.uint32(p))
+    return keys, valid
 
 
 def _scalar_ready(x) -> bool:

@@ -318,3 +318,37 @@ def test_eviction_overlap_matches(tmp_path):
     assert any("eviction started" in l for l in logs)
     assert np.array_equal(k1, k2)
     assert np.array_equal(c1, c2)
+
+
+def test_partitioned_counting_matches(tmp_path, monkeypatch):
+    """Hash-partitioned multi-pass counting (JT_COUNT_PARTITIONS=4) must
+    produce the identical record stream and host table as the single-pass
+    path — reference analog: jellyfish --disk bounded-memory counting
+    equals direct counting (jf:tests/merge.sh)."""
+    from jasper_tpu.count.counter import count_reads_to_host
+
+    k = 15
+    rng = np.random.default_rng(12)
+    reads = [
+        "".join(rng.choice(list("ACGTN"), p=[0.245, 0.245, 0.245, 0.245, 0.02])
+                for _ in range(rng.integers(40, 150)))
+        for _ in range(250)
+    ]
+    fq = tmp_path / "r.fq"
+    with open(fq, "w") as f:
+        for i, r in enumerate(reads):
+            f.write(f"@r{i}\n{r}\n+\n{'I' * len(r)}\n")
+
+    t1, k1, c1 = count_reads_to_host([str(fq)], k, chunk_len=1024)
+    logs = []
+    monkeypatch.setenv("JT_COUNT_PARTITIONS", "4")
+    t2, k2, c2 = count_reads_to_host([str(fq)], k, chunk_len=1024,
+                                     tlog=logs.append)
+    assert any("partition pass 4/4" in l for l in logs), logs
+    assert np.array_equal(k1, k2)
+    assert np.array_equal(c1, c2)
+    assert np.array_equal(t1.tab, t2.tab)
+    # and without the RAM codes cache (forced re-parse)
+    monkeypatch.setenv("JT_CODES_CACHE_BYTES", "0")
+    _, k3, c3 = count_reads_to_host([str(fq)], k, chunk_len=1024)
+    assert np.array_equal(k1, k3) and np.array_equal(c1, c3)
