@@ -171,7 +171,7 @@ def count_reads(
         if on_full is not None and acc.n_resident_lanes() > n_slots:
             on_full(_finish_to_table(acc, k))
             acc = RunAccumulator(unit=acc.unit)
-        if on_full_run is not None and acc.n_resident_lanes() > n_slots:
+        if on_full_run is not None and acc.n_settled_lanes() > n_slots:
             # eager eviction: the caller pulls the resident levels to host
             # and counting resumes into a fresh ladder (device memory stays
             # bounded regardless of total distinct keys)
@@ -236,7 +236,7 @@ def _count_reads_mesh(paths, k, chunk_len, mesh, canonical, min_qual_char,
             on_full(_finish_to_table(acc, k))
             acc = MeshRunAccumulator(mesh, unit=acc.unit,
                                      stage_lanes=acc.stage_lanes)
-        if on_full_run is not None and acc.n_resident_lanes() > n_slots:
+        if on_full_run is not None and acc.n_settled_lanes() > n_slots:
             if group:
                 _push_group()
             on_full_run(acc)
@@ -531,10 +531,14 @@ def count_reads_to_host(
     progress=None,
     tlog=None,
     scale_finish_lanes: int | None = None,
+    return_device_table: bool = False,
 ):
     """Driver counting entry: count reads and land the distinct set on the
     HOST — (host_table, keys uint32 [N, W], counts uint32 [N]) in
-    (mix32, key) order.
+    (mix32, key) order; with return_device_table=True a 4th element is the
+    DEVICE-built lookup table when the classic finish ran (the run was
+    already on device, so building there saves re-pushing the multi-GB
+    table over h2d at polish start) or None otherwise.
 
     Finish strategy by resident size: small sets merge-all on device and
     stream the single run's pull through the incremental waterfall builder
@@ -573,9 +577,10 @@ def count_reads_to_host(
             P *= 2
     seekable = all(isinstance(q, str) for q in paths)
     if P > 1 and seekable:
-        return _count_partitioned(
+        out = _count_partitioned(
             paths, k, P, mesh, chunk_len, slice_lanes, canonical,
             min_qual_char, progress, _log)
+        return out + (None,) if return_device_table else out
 
     evicted: list = []
     pending_pulls: list = []
@@ -613,17 +618,26 @@ def count_reads_to_host(
             host_table = HostKmerTable.empty(k, 64)
             return (host_table, np.zeros((0, host_table.W), np.uint32),
                     np.zeros(0, np.uint32))
-        _, rkeys, rcounts = merged
+        rh, rkeys, rcounts = merged
         _log(f"count: host-merge finish done ({len(rkeys)} records)")
-        host_table = HostKmerTable.from_sorted_run(k, rkeys, rcounts)
+        host_table = HostKmerTable.from_sorted_run(k, rkeys, rcounts, h=rh)
         _log("count: host table built")
-        return host_table, rkeys, rcounts
+        out = (host_table, rkeys, rcounts)
+        return out + (None,) if return_device_table else out
 
     run = acc.finish()
     if run is None:
         host_table = HostKmerTable.empty(k, 64)
-        return (host_table, np.zeros((0, host_table.W), np.uint32),
-                np.zeros(0, np.uint32))
+        out = (host_table, np.zeros((0, host_table.W), np.uint32),
+               np.zeros(0, np.uint32))
+        return out + (None,) if return_device_table else out
+    dev_tab = None
+    if return_device_table:
+        # the run is on device anyway: build the polish-scan lookup table
+        # there (~1 s) instead of pushing the multi-GB host table back over
+        # h2d at scanner construction
+        dev_tab = build_table(run, k)
+        _log("count: device scan table built")
     n_rec = int(run[3])
     builder = HostKmerTable.builder(k, n_rec)
 
@@ -640,7 +654,8 @@ def count_reads_to_host(
     host_table = (builder.finish() if builder is not None
                   else HostKmerTable.from_sorted_run(k, rkeys, rcounts))
     _log("count: host table built")
-    return host_table, rkeys, rcounts
+    out = (host_table, rkeys, rcounts)
+    return out + (dev_tab,) if return_device_table else out
 
 
 def _count_partitioned(paths, k, P, mesh, chunk_len, slice_lanes, canonical,
@@ -680,10 +695,11 @@ def _count_partitioned(paths, k, P, mesh, chunk_len, slice_lanes, canonical,
         host_table = HostKmerTable.empty(k, 64)
         return (host_table, np.zeros((0, host_table.W), np.uint32),
                 np.zeros(0, np.uint32))
+    rh = np.concatenate([pp[0] for pp in parts])
     rkeys = np.concatenate([pp[1] for pp in parts], axis=0)
     rcounts = np.concatenate([pp[2] for pp in parts])
     del parts
     _log(f"count: partitioned finish done ({len(rkeys)} records)")
-    host_table = HostKmerTable.from_sorted_run(k, rkeys, rcounts)
+    host_table = HostKmerTable.from_sorted_run(k, rkeys, rcounts, h=rh)
     _log("count: host table built")
     return host_table, rkeys, rcounts

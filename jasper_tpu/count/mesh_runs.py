@@ -167,6 +167,13 @@ class MeshRunAccumulator:
             + self._staged
         )
 
+    def n_settled_lanes(self) -> int:
+        """Eviction-trigger metric: excludes the async pending queue (see
+        RunAccumulator.n_settled_lanes)."""
+        return self.D * (
+            sum(r[0].shape[1] for r in self.levels.values()) + self._staged
+        )
+
     def finish(self):
         """Merge per-device ladders, then fold across devices into one
         single-device run (h, keys, counts, n_active) — or None if empty."""

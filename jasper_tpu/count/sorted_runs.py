@@ -393,6 +393,14 @@ class RunAccumulator:
             + self._staged
         )
 
+    def n_settled_lanes(self) -> int:
+        """Resident lanes EXCLUDING the async pending queue — the eviction
+        trigger metric. Pending runs are transient (they resolve within a
+        few chunks); counting them tripped evictions ~3x early (r4: a
+        20 Mbp run evicted at 92 M "resident" lanes against a 240 M
+        threshold and paid the padded host-merge pull for nothing)."""
+        return sum(r[0].shape[0] for r in self.levels.values()) + self._staged
+
     def finish(self):
         """Merge all levels; returns (h, keys, counts, n_active) or None if
         nothing was pushed."""

@@ -308,7 +308,8 @@ def load_jf_into_host_table(path: str, load_factor: float = 0.6):
     if order is None:
         order = _radix_lexsort([keys[:, j] for j in range(W)] + [h])
     tab = HostKmerTable.from_sorted_run(
-        k, np.ascontiguousarray(keys[order]), counts32[order], load_factor
+        k, np.ascontiguousarray(keys[order]), counts32[order], load_factor,
+        h=h[order],
     )
     return tab, header
 

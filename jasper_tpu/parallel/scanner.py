@@ -158,9 +158,13 @@ def mesh_for_table(table_bytes: int, num_devices: int,
 
 def select_scanner(host_table, k: int, num_devices: int | None = None,
                    hbm_budget: int = HBM_TABLE_BUDGET, tile: int = 1 << 22,
-                   devices=None):
+                   devices=None, device_tab=None):
     """The driver's scanner policy. Returns a scanner object with
-    .prepare(seq, thre) -> ContigScan."""
+    .prepare(seq, thre) -> ContigScan.
+
+    device_tab: optional lookup table ALREADY on device (the counting
+    finish builds it from the resident run) — skips re-pushing the
+    multi-GB host table over the h2d link in the replicated regime."""
     import jax
     import jax.numpy as jnp
 
@@ -192,4 +196,5 @@ def select_scanner(host_table, k: int, num_devices: int | None = None,
         from jax.sharding import Mesh
 
         mesh = Mesh(np.array(devices[:num_devices]), ("data",))
-    return DeviceScanner(jnp.asarray(host_table.tab), k, tile=tile, mesh=mesh)
+    tab = device_tab if device_tab is not None else jnp.asarray(host_table.tab)
+    return DeviceScanner(tab, k, tile=tile, mesh=mesh)

@@ -430,6 +430,7 @@ def run_pipeline(
     # database
     histo_csv = os.path.join(workdir, f"jfhisto{k}.csv")
     host_table = None
+    dev_tab = None  # device-built scan table (classic count finish only)
     db_writer = None  # background .jf artifact writer (joined before return)
     if jf_db is None:
         if not reads:
@@ -467,9 +468,9 @@ def run_pipeline(
             # transfer; chromosome-scale sets (past the device finish
             # budget) pull per-level and k-way merge on the host instead
             # (count_reads_to_host policy)
-            host_table, rkeys, rcounts = count_reads_to_host(
+            host_table, rkeys, rcounts, dev_tab = count_reads_to_host(
                 reads, k, hash_size_hint=max(jf_size, 1024), mesh=mesh,
-                tlog=tlog,
+                tlog=tlog, return_device_table=True,
             )
             write_histogram(histo_csv, histogram_rows_from_counts(rcounts))
             tlog("count: histogram done")
@@ -557,7 +558,8 @@ def run_pipeline(
             from jasper_tpu.parallel.scanner import select_scanner
             from jasper_tpu.polish.device_engine import DevicePolishEngine
 
-            scanner = select_scanner(host_table, k, num_devices=num_devices)
+            scanner = select_scanner(host_table, k, num_devices=num_devices,
+                                     device_tab=dev_tab)
             log(f"Scanner: {type(scanner).__name__}")
 
             def engine_cls(c, kk, t):

@@ -66,7 +66,11 @@ class HostKmerTable:
         N = keys.shape[0]
         counts = np.asarray(counts, dtype=np.uint32)
         if h is None:
-            h = hash_words_np(np.ascontiguousarray(keys, dtype=np.uint32))
+            from jasper_tpu.io import native_jf
+
+            h = native_jf.mix32_batch(keys)  # ~100x the numpy murmur chain
+            if h is None:
+                h = hash_words_np(np.ascontiguousarray(keys, dtype=np.uint32))
         n_slots = slots_for(max(N, 1), load_factor)
         rank = np.arange(N, dtype=np.int64)
         while True:

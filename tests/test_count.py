@@ -352,3 +352,24 @@ def test_partitioned_counting_matches(tmp_path, monkeypatch):
     monkeypatch.setenv("JT_CODES_CACHE_BYTES", "0")
     _, k3, c3 = count_reads_to_host([str(fq)], k, chunk_len=1024)
     assert np.array_equal(k1, k3) and np.array_equal(c1, c3)
+
+
+def test_device_table_matches_host_table(tmp_path):
+    """The classic finish's device-built scan table must equal the
+    host-built table bit-for-bit (the polish scan reads the device copy,
+    the repair path reads the host copy — byte parity requires identical
+    lookups)."""
+    from jasper_tpu.count.counter import count_reads_to_host
+
+    k = 15
+    rng = np.random.default_rng(44)
+    reads = ["".join(rng.choice(list("ACGT")) for _ in range(120))
+             for _ in range(150)]
+    fq = tmp_path / "r.fq"
+    with open(fq, "w") as f:
+        for i, r in enumerate(reads):
+            f.write(f"@r{i}\n{r}\n+\n{'I' * len(r)}\n")
+    host, _, _, dev = count_reads_to_host([str(fq)], k, chunk_len=2048,
+                                          return_device_table=True)
+    assert dev is not None
+    np.testing.assert_array_equal(np.asarray(dev), host.tab)
