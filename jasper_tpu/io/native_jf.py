@@ -65,6 +65,12 @@ def _load():
             ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p,
         ]
+        lib.jt_waterfall_build.restype = ctypes.c_int
+        lib.jt_waterfall_build.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_void_p,
+        ]
         lib.jt_jf_sort_pack.restype = None
         lib.jt_jf_sort_pack.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
@@ -192,3 +198,25 @@ def merge_runs_multi(streams):
         out_c.ctypes.data_as(ctypes.c_void_p),
     )
     return out_h[:n_out], out_k[:n_out], out_c[:n_out]
+
+
+def waterfall_build(keys, counts, h, sw: int, n_buckets: int,
+                    pad_buckets: int, tab) -> bool | None:
+    """Place a (mix32, key)-ascending distinct record stream into the
+    zeroed bucketed table `tab` ((n_buckets+pad)*64 uint32, C-contiguous).
+    True on success, False on pad overflow (retry with a bigger table),
+    None when the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    keys = np.ascontiguousarray(keys, dtype=np.uint32)
+    counts = np.ascontiguousarray(counts, dtype=np.uint32)
+    h = np.ascontiguousarray(h, dtype=np.uint32)
+    n, W = keys.shape
+    rc = lib.jt_waterfall_build(
+        keys.ctypes.data_as(ctypes.c_void_p),
+        counts.ctypes.data_as(ctypes.c_void_p),
+        h.ctypes.data_as(ctypes.c_void_p), n, W, sw, n_buckets, pad_buckets,
+        tab.ctypes.data_as(ctypes.c_void_p),
+    )
+    return rc == 0

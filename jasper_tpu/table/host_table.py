@@ -71,7 +71,23 @@ class HostKmerTable:
             h = native_jf.mix32_batch(keys)  # ~100x the numpy murmur chain
             if h is None:
                 h = hash_words_np(np.ascontiguousarray(keys, dtype=np.uint32))
+        from jasper_tpu.io import native_jf
+
         n_slots = slots_for(max(N, 1), load_factor)
+        if N and native_jf.available():
+            # one sequential native pass (jt_waterfall_build) — the numpy
+            # cummax + scatter chain costs ~18.5 s at 55.7 M records
+            while True:
+                n_buckets = max(1, n_slots // S)
+                flat = np.zeros((n_buckets + PAD_BUCKETS) * ROW_U32,
+                                dtype=np.uint32)
+                ok = native_jf.waterfall_build(
+                    keys, counts, h, sw, n_buckets, PAD_BUCKETS, flat)
+                if ok:
+                    return cls(k, flat.reshape(n_buckets + PAD_BUCKETS,
+                                               ROW_U32))
+                del flat
+                n_slots *= 2
         rank = np.arange(N, dtype=np.int64)
         while True:
             n_buckets = max(1, n_slots // S)

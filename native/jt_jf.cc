@@ -280,4 +280,36 @@ extern "C" int64_t jt_merge_runs_multi(
   return out + 1;
 }
 
+// Waterfall table build: place a (mix32, key)-ascending DISTINCT record
+// stream into the bucketed table layout (table/kmer_table.py: rows of 64
+// uint32, sw words per slot, home bucket = top log2(n_buckets) hash bits).
+// slot_i = max(slot_{i-1} + 1, home_bucket * S) — one sequential pass, the
+// C twin of HostKmerTable.from_sorted_run's cummax (numpy: 18.5 s at
+// 55.7 M records; here memcpy speed). tab must be zeroed,
+// (n_buckets + pad_buckets) * 64 uint32. Returns 0 on success, 1 when a
+// record would overflow the pad region (caller doubles n_slots, retries).
+extern "C" int jt_waterfall_build(const uint32_t* keys, const uint32_t* counts,
+                                  const uint32_t* h, int64_t n, int W, int sw,
+                                  int64_t n_buckets, int pad_buckets,
+                                  uint32_t* tab) {
+  if (n < 0 || W <= 0 || sw <= 0 || sw > 64 || W >= sw || 64 % sw != 0 ||
+      n_buckets <= 0 || pad_buckets < 0)
+    return 1;
+  int S = 64 / sw;
+  int lb = 0;
+  while ((1ll << lb) < n_buckets) ++lb;
+  int64_t total_slots = (n_buckets + pad_buckets) * (int64_t)S;
+  int64_t slot = -1;
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t home = n_buckets <= 1 ? 0 : (int64_t)(h[i] >> (32 - lb));
+    int64_t target = home * S;
+    slot = slot + 1 > target ? slot + 1 : target;
+    if (slot >= total_slots || slot / S - home > pad_buckets) return 1;
+    uint32_t* dst = tab + slot * sw;  // 64 == S * sw: flat slot addressing
+    memcpy(dst, keys + i * W, 4 * (size_t)W);
+    dst[sw - 1] = counts[i];
+  }
+  return 0;
+}
+
 }  // extern "C"
