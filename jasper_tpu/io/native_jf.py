@@ -71,6 +71,13 @@ def _load():
             ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int64,
             ctypes.c_int, ctypes.c_void_p,
         ]
+        lib.jt_waterfall_extend.restype = ctypes.c_int
+        lib.jt_waterfall_extend.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
         lib.jt_jf_sort_pack.restype = None
         lib.jt_jf_sort_pack.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
@@ -220,3 +227,25 @@ def waterfall_build(keys, counts, h, sw: int, n_buckets: int,
         tab.ctypes.data_as(ctypes.c_void_p),
     )
     return rc == 0
+
+
+def waterfall_extend(keys, counts, h, sw: int, n_buckets: int,
+                     pad_buckets: int, tab, last_slot: int):
+    """Incremental waterfall_build: returns the new last_slot on success,
+    -1 on pad overflow, None when the native library is unavailable.
+    Slices pushed in run order build bit-identically to one-shot."""
+    lib = _load()
+    if lib is None:
+        return None
+    keys = np.ascontiguousarray(keys, dtype=np.uint32)
+    counts = np.ascontiguousarray(counts, dtype=np.uint32)
+    h = np.ascontiguousarray(h, dtype=np.uint32)
+    n, W = keys.shape
+    io_slot = ctypes.c_int64(last_slot)
+    rc = lib.jt_waterfall_extend(
+        keys.ctypes.data_as(ctypes.c_void_p),
+        counts.ctypes.data_as(ctypes.c_void_p),
+        h.ctypes.data_as(ctypes.c_void_p), n, W, sw, n_buckets, pad_buckets,
+        tab.ctypes.data_as(ctypes.c_void_p), ctypes.byref(io_slot),
+    )
+    return io_slot.value if rc == 0 else -1

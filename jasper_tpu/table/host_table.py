@@ -262,6 +262,7 @@ class SortedRunTableBuilder:
     run order is bit-identical to the one-shot build."""
 
     def __init__(self, cls, k: int, n_total: int, load_factor: float):
+        from jasper_tpu.io import native_jf
         from jasper_tpu.table.kmer_table import slots_for
 
         self._cls = cls
@@ -275,6 +276,8 @@ class SortedRunTableBuilder:
         self.flat = np.zeros(self.total_slots * self.sw, dtype=np.uint32)
         self._carry = np.int64(np.iinfo(np.int64).min)
         self._rank0 = 0
+        self._native = native_jf.available()
+        self._last_slot = -1
 
     def push(self, keys: np.ndarray, counts: np.ndarray,
              h: np.ndarray | None = None) -> None:
@@ -283,6 +286,24 @@ class SortedRunTableBuilder:
             return
         if h is None:
             h = hash_words_np(np.ascontiguousarray(keys, dtype=np.uint32))
+        if self._native:
+            from jasper_tpu.io import native_jf
+
+            last = native_jf.waterfall_extend(
+                keys, counts, h, self.sw, self.n_buckets, PAD_BUCKETS,
+                self.flat, self._last_slot)
+            if last is None:
+                # cannot happen after available() returned True, but keep
+                # the numpy fallback consistent: carry = pref[-1]
+                self._native = False
+                if self._rank0 > 0:
+                    self._carry = np.int64(self._last_slot - (self._rank0 - 1))
+            elif last < 0:
+                raise TableOverflow
+            else:
+                self._last_slot = last
+                self._rank0 += n
+                return
         home = home_of(np, h, self.n_buckets).astype(np.int64)
         rank = np.arange(self._rank0, self._rank0 + n, dtype=np.int64)
         des = home * self.S - rank

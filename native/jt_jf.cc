@@ -288,18 +288,21 @@ extern "C" int64_t jt_merge_runs_multi(
 // 55.7 M records; here memcpy speed). tab must be zeroed,
 // (n_buckets + pad_buckets) * 64 uint32. Returns 0 on success, 1 when a
 // record would overflow the pad region (caller doubles n_slots, retries).
-extern "C" int jt_waterfall_build(const uint32_t* keys, const uint32_t* counts,
-                                  const uint32_t* h, int64_t n, int W, int sw,
-                                  int64_t n_buckets, int pad_buckets,
-                                  uint32_t* tab) {
+// Incremental form: io_last_slot carries the highest slot used so far
+// (initialize to -1); slices pushed in run order build bit-identically to
+// the one-shot call (the streaming builder that overlaps the d2h pull).
+extern "C" int jt_waterfall_extend(const uint32_t* keys, const uint32_t* counts,
+                                   const uint32_t* h, int64_t n, int W, int sw,
+                                   int64_t n_buckets, int pad_buckets,
+                                   uint32_t* tab, int64_t* io_last_slot) {
   if (n < 0 || W <= 0 || sw <= 0 || sw > 64 || W >= sw || 64 % sw != 0 ||
-      n_buckets <= 0 || pad_buckets < 0)
+      n_buckets <= 0 || pad_buckets < 0 || io_last_slot == nullptr)
     return 1;
   int S = 64 / sw;
   int lb = 0;
   while ((1ll << lb) < n_buckets) ++lb;
   int64_t total_slots = (n_buckets + pad_buckets) * (int64_t)S;
-  int64_t slot = -1;
+  int64_t slot = *io_last_slot;
   for (int64_t i = 0; i < n; ++i) {
     int64_t home = n_buckets <= 1 ? 0 : (int64_t)(h[i] >> (32 - lb));
     int64_t target = home * S;
@@ -309,7 +312,17 @@ extern "C" int jt_waterfall_build(const uint32_t* keys, const uint32_t* counts,
     memcpy(dst, keys + i * W, 4 * (size_t)W);
     dst[sw - 1] = counts[i];
   }
+  *io_last_slot = slot;
   return 0;
+}
+
+extern "C" int jt_waterfall_build(const uint32_t* keys, const uint32_t* counts,
+                                  const uint32_t* h, int64_t n, int W, int sw,
+                                  int64_t n_buckets, int pad_buckets,
+                                  uint32_t* tab) {
+  int64_t last = -1;
+  return jt_waterfall_extend(keys, counts, h, n, W, sw, n_buckets,
+                             pad_buckets, tab, &last);
 }
 
 }  // extern "C"
