@@ -298,19 +298,15 @@ def load_jf_into_host_table(path: str, load_factor: float = 0.6):
     from jasper_tpu.ops.kmer import key_bytes as _key_bytes
 
     k, keys, counts, header = read_any_jf(path)
-    counts32 = np.minimum(counts, 0xFFFFFFFF).astype(np.uint32)
     W = keys.shape[1]
-    h = native_jf.mix32_batch(keys)
-    if h is None:
+    srt = native_jf.sort_run_records(keys, counts, _key_bytes(k))
+    if srt is None:
+        counts32 = np.minimum(counts, 0xFFFFFFFF).astype(np.uint32)
         h = hash_words_np(keys)
-    order = native_jf.jf_sort_order(
-        keys, h.astype(np.uint64), _key_bytes(k), 32)
-    if order is None:
         order = _radix_lexsort([keys[:, j] for j in range(W)] + [h])
-    tab = HostKmerTable.from_sorted_run(
-        k, np.ascontiguousarray(keys[order]), counts32[order], load_factor,
-        h=h[order],
-    )
+        srt = (np.ascontiguousarray(keys[order]), counts32[order], h[order])
+    skeys, scounts, sh = srt
+    tab = HostKmerTable.from_sorted_run(k, skeys, scounts, load_factor, h=sh)
     return tab, header
 
 

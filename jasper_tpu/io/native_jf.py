@@ -65,6 +65,11 @@ def _load():
             ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p,
         ]
+        lib.jt_sort_run_records.restype = None
+        lib.jt_sort_run_records.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int,
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ]
         lib.jt_waterfall_build.restype = ctypes.c_int
         lib.jt_waterfall_build.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -249,3 +254,26 @@ def waterfall_extend(keys, counts, h, sw: int, n_buckets: int,
         tab.ctypes.data_as(ctypes.c_void_p), ctypes.byref(io_slot),
     )
     return io_slot.value if rc == 0 else -1
+
+
+def sort_run_records(keys, counts, kb: int):
+    """(keys u32 [N,W], counts u64 [N]) -> (keys, counts32, h) sorted by
+    (mix32, key) ascending, in one native struct-radix pass. None when the
+    native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    keys = np.ascontiguousarray(keys, dtype=np.uint32)
+    counts = np.ascontiguousarray(counts, dtype=np.uint64)
+    n, W = keys.shape
+    ok = np.empty((n, W), np.uint32)
+    oc = np.empty(n, np.uint32)
+    oh = np.empty(n, np.uint32)
+    lib.jt_sort_run_records(
+        keys.ctypes.data_as(ctypes.c_void_p),
+        counts.ctypes.data_as(ctypes.c_void_p), n, W, kb,
+        ok.ctypes.data_as(ctypes.c_void_p),
+        oc.ctypes.data_as(ctypes.c_void_p),
+        oh.ctypes.data_as(ctypes.c_void_p),
+    )
+    return ok, oc, oh

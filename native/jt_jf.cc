@@ -280,6 +280,46 @@ extern "C" int64_t jt_merge_runs_multi(
   return out + 1;
 }
 
+// Sort .jf records into (mix32, key) order in one pass: computes h, radix-
+// sorts compact [key kb | count u32 | h u32] structs by the little-endian
+// [key kb | h] composite (h most significant == (h, key) order), and emits
+// the sorted columns. Replaces the load path's separate order + three
+// fancy-index gathers (10.8 s + 9 s at 55.7 M records) — the startup cost
+// of QueryMerFile / .jf-reuse runs (reference mmaps instead,
+// jf:include/jellyfish/mapped_file.hpp).
+extern "C" void jt_sort_run_records(const uint32_t* keys,
+                                    const uint64_t* counts, int64_t n, int W,
+                                    int kb, uint32_t* out_keys,
+                                    uint32_t* out_counts, uint32_t* out_h) {
+  if (n <= 0 || W <= 0 || kb <= 0 || kb > 4 * W) return;
+  int rec = kb + 4 + 4;            // key bytes + count u32 + h u32
+  int stride = rec + kb + 4;       // + sort field [key kb | h 4]
+  std::vector<uint8_t> bufa((size_t)n * stride), bufb((size_t)n * stride);
+  const uint8_t* kbytes = (const uint8_t*)keys;
+  int64_t kstride = 4 * (int64_t)W;
+  for (int64_t i = 0; i < n; ++i) {
+    uint8_t* s = bufa.data() + i * stride;
+    memcpy(s, kbytes + i * kstride, kb);
+    uint64_t c = counts[i];
+    uint32_t c32 = c > 0xFFFFFFFFull ? 0xFFFFFFFFu : (uint32_t)c;
+    memcpy(s + kb, &c32, 4);
+    uint32_t hh = mix32(keys + i * W, W);
+    memcpy(s + kb + 4, &hh, 4);
+    memcpy(s + rec, s, kb);          // sort field: key bytes...
+    memcpy(s + rec + kb, &hh, 4);    // ...then h (most significant)
+  }
+  uint8_t* res = struct_radix(bufa.data(), bufb.data(), n, stride, rec,
+                              kb + 4);
+  for (int64_t i = 0; i < n; ++i) {
+    const uint8_t* s = res + i * stride;
+    uint32_t* dk = out_keys + i * W;
+    for (int j = 0; j < W; ++j) dk[j] = 0;
+    memcpy(dk, s, kb);
+    memcpy(&out_counts[i], s + kb, 4);
+    memcpy(&out_h[i], s + kb + 4, 4);
+  }
+}
+
 // Waterfall table build: place a (mix32, key)-ascending DISTINCT record
 // stream into the bucketed table layout (table/kmer_table.py: rows of 64
 // uint32, sw words per slot, home bucket = top log2(n_buckets) hash bits).
