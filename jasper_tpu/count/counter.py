@@ -363,8 +363,12 @@ def count_sequences(seqs: Iterable[str], k: int, n_slots: int = 1 << 16):
 # final run) risks the chip's HBM; pull per-level instead
 import os as _os
 
+# ~256M lanes: merge-all transient (concat+sort in/out ~2x lanes x 16B)
+# plus residents stays ~13 GB on a 16 GB chip; the r4 20 Mbp run measured
+# 235M transient-resident lanes for a 55.7M distinct set, so 120M pushed it
+# onto the padded host-merge path for no reason
 SCALE_FINISH_LANES = int(_os.environ.get("JT_SCALE_FINISH_LANES",
-                                         str(120_000_000)))
+                                         str(256_000_000)))
 
 
 _ESC_CAP = 65536  # fixed async escape-list capacity (counts >= 65535 keys)
@@ -577,10 +581,9 @@ def count_reads_to_host(
             P *= 2
     seekable = all(isinstance(q, str) for q in paths)
     if P > 1 and seekable:
-        out = _count_partitioned(
+        return _count_partitioned(
             paths, k, P, mesh, chunk_len, slice_lanes, canonical,
-            min_qual_char, progress, _log)
-        return out + (None,) if return_device_table else out
+            min_qual_char, progress, _log, return_device_table)
 
     evicted: list = []
     pending_pulls: list = []
@@ -622,8 +625,12 @@ def count_reads_to_host(
         _log(f"count: host-merge finish done ({len(rkeys)} records)")
         host_table = HostKmerTable.from_sorted_run(k, rkeys, rcounts, h=rh)
         _log("count: host table built")
+        dev_tab = None
+        if return_device_table:
+            dev_tab = _device_table_from_host_run(rh, rkeys, rcounts, k)
+            _log("count: device scan table built (from merged run)")
         out = (host_table, rkeys, rcounts)
-        return out + (None,) if return_device_table else out
+        return out + (dev_tab,) if return_device_table else out
 
     run = acc.finish()
     if run is None:
@@ -659,7 +666,8 @@ def count_reads_to_host(
 
 
 def _count_partitioned(paths, k, P, mesh, chunk_len, slice_lanes, canonical,
-                       min_qual_char, progress, _log):
+                       min_qual_char, progress, _log,
+                       return_device_table=False):
     """P-pass hash-partitioned counting (see count_reads_to_host)."""
     from jasper_tpu.io.fastx import total_file_bytes as _tfb
     from jasper_tpu.table.host_table import HostKmerTable
@@ -693,8 +701,9 @@ def _count_partitioned(paths, k, P, mesh, chunk_len, slice_lanes, canonical,
     _materialize_prev()
     if not parts:
         host_table = HostKmerTable.empty(k, 64)
-        return (host_table, np.zeros((0, host_table.W), np.uint32),
-                np.zeros(0, np.uint32))
+        out = (host_table, np.zeros((0, host_table.W), np.uint32),
+               np.zeros(0, np.uint32))
+        return out + (None,) if return_device_table else out
     rh = np.concatenate([pp[0] for pp in parts])
     rkeys = np.concatenate([pp[1] for pp in parts], axis=0)
     rcounts = np.concatenate([pp[2] for pp in parts])
@@ -702,4 +711,18 @@ def _count_partitioned(paths, k, P, mesh, chunk_len, slice_lanes, canonical,
     _log(f"count: partitioned finish done ({len(rkeys)} records)")
     host_table = HostKmerTable.from_sorted_run(k, rkeys, rcounts, h=rh)
     _log("count: host table built")
-    return host_table, rkeys, rcounts
+    dev_tab = None
+    if return_device_table:
+        dev_tab = _device_table_from_host_run(rh, rkeys, rcounts, k)
+        _log("count: device scan table built (from merged run)")
+    out = (host_table, rkeys, rcounts)
+    return out + (dev_tab,) if return_device_table else out
+
+
+def _device_table_from_host_run(rh, rkeys, rcounts, k):
+    """Push the compact merged run (16 B/record) and build the scan table
+    ON DEVICE — ~2.4x fewer h2d bytes than pushing the built table, and the
+    build is one ~1 s device pass (table/build.py)."""
+    run = (jnp.asarray(rh), jnp.asarray(rkeys), jnp.asarray(rcounts),
+           len(rh))
+    return build_table(run, k)
