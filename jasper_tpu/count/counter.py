@@ -577,7 +577,10 @@ def count_reads_to_host(
     if env_p:
         P = max(1, int(env_p))
     else:
-        while est // P > 2 * budget and P < 16:
+        # per-pass distinct must leave HBM headroom for the ladder's merge
+        # transients and the async pending queue (P=2 at a ~278M-distinct
+        # 100 Mbp input OOMed a 16 GB chip in r4)
+        while est // P > budget and P < 16:
             P *= 2
     seekable = all(isinstance(q, str) for q in paths)
     if P > 1 and seekable:
@@ -686,6 +689,17 @@ def _count_partitioned(paths, k, P, mesh, chunk_len, slice_lanes, canonical,
         if streams:
             parts.append(merge_host_streams(streams))
 
+    # safety valve: if a pass's ladder still outgrows the device budget
+    # (the distinct estimate lied), evict its levels mid-pass; the per-pass
+    # merge accepts any number of streams
+    valve_streams: list = []
+
+    def _valve(acc_):
+        valve_streams.extend(
+            s for s in (t() for t in start_all_level_pulls(acc_, slice_lanes))
+            if len(s[0]))
+        _log(f"count: partition-pass eviction ({len(valve_streams)} streams)")
+
     for p_idx in range(P):
         sink = codes_cache if (use_cache and p_idx == 0) else None
         source = codes_cache if (use_cache and p_idx > 0) else None
@@ -694,9 +708,14 @@ def _count_partitioned(paths, k, P, mesh, chunk_len, slice_lanes, canonical,
             min_qual_char=min_qual_char, progress=progress,
             partition=(p_idx, P), return_acc=True,
             codes_sink=sink, codes_source=source,
+            n_slots=SCALE_FINISH_LANES, on_full_run=_valve,
         )
         _materialize_prev()  # previous pass's transfers have landed by now
         pending.append(start_all_level_pulls(acc, slice_lanes))
+        if valve_streams:
+            pending[-1] = list(pending[-1])  # thunks list
+            vs, valve_streams = valve_streams, []
+            pending[-1].extend((lambda s=s: s) for s in vs)
         _log(f"count: partition pass {p_idx + 1}/{P} counted, pull in flight")
     _materialize_prev()
     if not parts:

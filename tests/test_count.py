@@ -373,3 +373,27 @@ def test_device_table_matches_host_table(tmp_path):
                                           return_device_table=True)
     assert dev is not None
     np.testing.assert_array_equal(np.asarray(dev), host.tab)
+
+
+def test_partitioned_valve_eviction_matches(tmp_path, monkeypatch):
+    """The partitioned path's per-pass eviction safety valve (fires when a
+    pass's ladder outgrows the device budget) must not change results."""
+    from jasper_tpu.count import counter
+
+    k = 15
+    rng = np.random.default_rng(19)
+    reads = ["".join(rng.choice(list("ACGT")) for _ in range(100))
+             for _ in range(200)]
+    fq = tmp_path / "r.fq"
+    with open(fq, "w") as f:
+        for i, r in enumerate(reads):
+            f.write(f"@r{i}\n{r}\n+\n{'I' * len(r)}\n")
+    _, k1, c1 = counter.count_reads_to_host([str(fq)], k, chunk_len=1024)
+    logs = []
+    monkeypatch.setenv("JT_COUNT_PARTITIONS", "2")
+    monkeypatch.setattr(counter, "SCALE_FINISH_LANES", 1024)
+    _, k2, c2 = counter.count_reads_to_host([str(fq)], k, chunk_len=1024,
+                                            tlog=logs.append)
+    assert any("partition-pass eviction" in l for l in logs), logs
+    assert np.array_equal(k1, k2)
+    assert np.array_equal(c1, c2)
