@@ -741,7 +741,18 @@ def _count_partitioned(paths, k, P, mesh, chunk_len, slice_lanes, canonical,
 def _device_table_from_host_run(rh, rkeys, rcounts, k):
     """Push the compact merged run (16 B/record) and build the scan table
     ON DEVICE — ~2.4x fewer h2d bytes than pushing the built table, and the
-    build is one ~1 s device pass (table/build.py)."""
+    build is one ~1 s device pass (table/build.py). Returns None when the
+    table exceeds the device build kernel's int32 flat addressing
+    (~2^31 u32 = 8 GB; chromosome-scale sets) — the scanner then pushes
+    the host-built table instead."""
+    from jasper_tpu.ops.kmer import words_per_kmer
+    from jasper_tpu.table.kmer_table import PAD_BUCKETS, ROW_U32,         slot_words_for, slots_for
+
+    sw = slot_words_for(words_per_kmer(k))
+    n_slots = slots_for(max(len(rh), 1), 0.6)
+    n_buckets = max(1, n_slots // (ROW_U32 // sw))
+    if (n_buckets + PAD_BUCKETS) * ROW_U32 >= (1 << 31):
+        return None
     run = (jnp.asarray(rh), jnp.asarray(rkeys), jnp.asarray(rcounts),
            len(rh))
     return build_table(run, k)
