@@ -642,7 +642,7 @@ def count_reads_to_host(
                np.zeros(0, np.uint32))
         return out + (None,) if return_device_table else out
     dev_tab = None
-    if return_device_table:
+    if return_device_table and _device_table_fits(int(run[3]), k):
         # the run is on device anyway: build the polish-scan lookup table
         # there (~1 s) instead of pushing the multi-GB host table back over
         # h2d at scanner construction
@@ -756,3 +756,21 @@ def _device_table_from_host_run(rh, rkeys, rcounts, k):
     run = (jnp.asarray(rh), jnp.asarray(rkeys), jnp.asarray(rcounts),
            len(rh))
     return build_table(run, k)
+
+
+def _device_table_fits(n_records: int, k: int) -> bool:
+    """True when the device build kernel can flat-address the table
+    (table/build.py asserts total u32 < 2^31; beyond that the scanner
+    pushes the host-built table over h2d instead)."""
+    from jasper_tpu.ops.kmer import words_per_kmer
+    from jasper_tpu.table.kmer_table import (
+        PAD_BUCKETS,
+        ROW_U32,
+        slot_words_for,
+        slots_for,
+    )
+
+    sw = slot_words_for(words_per_kmer(k))
+    n_slots = slots_for(max(n_records, 1), 0.6)
+    n_buckets = max(1, n_slots // (ROW_U32 // sw))
+    return (n_buckets + PAD_BUCKETS) * ROW_U32 < (1 << 31)
