@@ -631,7 +631,8 @@ def count_reads_to_host(
         dev_tab = None
         if return_device_table:
             dev_tab = _device_table_from_host_run(rh, rkeys, rcounts, k)
-            _log("count: device scan table built (from merged run)")
+            if dev_tab is not None:
+                _log("count: device scan table built (from merged run)")
         out = (host_table, rkeys, rcounts)
         return out + (dev_tab,) if return_device_table else out
 
@@ -733,7 +734,8 @@ def _count_partitioned(paths, k, P, mesh, chunk_len, slice_lanes, canonical,
     dev_tab = None
     if return_device_table:
         dev_tab = _device_table_from_host_run(rh, rkeys, rcounts, k)
-        _log("count: device scan table built (from merged run)")
+        if dev_tab is not None:
+            _log("count: device scan table built (from merged run)")
     out = (host_table, rkeys, rcounts)
     return out + (dev_tab,) if return_device_table else out
 
