@@ -43,7 +43,7 @@ def table_mem_bytes(k: int, size: int, load_factor: float = 0.8) -> int:
     W = words_per_kmer(k)
     sw = slot_words_for(W)
     n_slots = slots_for(size, load_factor)
-    n_buckets = max(1, n_slots // (ROW_U32 // sw))
+    n_buckets = max(1, -(-n_slots // (ROW_U32 // sw)))
     return (n_buckets + PAD_BUCKETS) * ROW_U32 * 4
 
 

@@ -52,25 +52,41 @@ def hash_words_np(words: np.ndarray) -> np.ndarray:
 
 
 def home_of(xp, h, n_buckets: int, owner_bits: int = 0):
-    """Home bucket from the hash: the TOP ``log2(n_buckets)`` bits after
-    skipping ``owner_bits`` shard-owner bits.
+    """Home bucket from the hash: the 32-bit hash (after skipping
+    ``owner_bits`` shard-owner bits) range-mapped onto [0, n_buckets) with a
+    fixed-point multiply-high — ``home = ((h << ob) * n_buckets) >> 32``.
 
-    Top-bit addressing makes bucket order == hash order, so key streams
-    sorted by ``h`` are sorted by home bucket (the property the sort-based
-    counter and the waterfall table build rely on), and the sharded table's
-    owner prefix (parallel.sharded_table) composes with the local home as a
-    longer prefix of the same hash.
+    The map is monotone in ``h`` (for a fixed owner prefix), so bucket order
+    == hash order — key streams sorted by ``h`` are sorted by home bucket
+    (the property the sort-based counter and the waterfall table build rely
+    on) — and, unlike the earlier top-bit shift, ``n_buckets`` need NOT be a
+    power of two: tables size to ceil(n/load) instead of the next power of
+    two (which left the effective load anywhere in [load/2, load] and up to
+    2x the HBM — the r4 8.59 GB scan table at 278 M records was really a
+    0.52-load power-of-two rounding of a 0.6 target).
+
+    The multiply-high runs in uint32 (16-bit split) because jax disables
+    x64 by default; ``n_buckets`` is a static Python int.
     """
-    lb = int(n_buckets - 1).bit_length()
     if n_buckets <= 1:
         return (h * 0).astype(xp.uint32) if hasattr(h, "astype") else 0
     u = xp.uint32
-    return ((h.astype(xp.uint32) << u(owner_bits)) >> u(32 - lb)).astype(xp.uint32)
+    a = (h.astype(xp.uint32) << u(owner_bits)).astype(xp.uint32)
+    b_lo = int(n_buckets) & 0xFFFF
+    b_hi = int(n_buckets) >> 16
+    a_lo = a & u(0xFFFF)
+    a_hi = a >> u(16)
+    # hi32(a * b): partial products, all intermediates fit uint32
+    lh = (a_lo * u(b_hi)).astype(xp.uint32) if b_hi else a_lo * u(0)
+    hl = (a_hi * u(b_lo)).astype(xp.uint32)
+    hh = (a_hi * u(b_hi)).astype(xp.uint32) if b_hi else a_hi * u(0)
+    ll = (a_lo * u(b_lo)).astype(xp.uint32)
+    mid = ((ll >> u(16)) + (lh & u(0xFFFF)) + (hl & u(0xFFFF))).astype(xp.uint32)
+    return (hh + (lh >> u(16)) + (hl >> u(16)) + (mid >> u(16))).astype(xp.uint32)
 
 
 def home_of_int(h: int, n_buckets: int, owner_bits: int = 0) -> int:
     """Scalar-python twin of home_of (host probe paths)."""
-    lb = int(n_buckets - 1).bit_length()
     if n_buckets <= 1:
         return 0
-    return ((h << owner_bits) & 0xFFFFFFFF) >> (32 - lb)
+    return (((h << owner_bits) & 0xFFFFFFFF) * n_buckets) >> 32

@@ -71,7 +71,7 @@ def build_sharded(mesh: Mesh, keys, counts, local_slots: int):
     shift = _owner_shift(D)
     W = keys.shape[1]
     sw = slot_words_for(W)
-    n_buckets = max(1, local_slots // (ROW_U32 // sw))
+    n_buckets = max(1, -(-local_slots // (ROW_U32 // sw)))
     local_shape = (n_buckets + PAD_BUCKETS, ROW_U32)
     keys = jnp.asarray(keys)
     counts = jnp.asarray(counts, dtype=jnp.uint32)

@@ -652,8 +652,8 @@ def run_pipeline(
 
 
 def _host_histogram(host_table, high: int = 10000):
-    sw = host_table.sw
-    counts = host_table.tab.reshape(-1, sw)[:, sw - 1]
+    sw, S = host_table.sw, host_table.slots
+    counts = host_table.tab[:, : S * sw].reshape(-1, sw)[:, sw - 1]
     occ = counts != 0
     clipped = np.minimum(counts[occ].astype(np.int64), high + 1)
     hist = np.bincount(clipped, minlength=high + 2)

@@ -68,9 +68,13 @@ def build_from_run(h, keys, counts, n_buckets: int, owner_bits: int = 0):
     # scatter word-by-word into a flat 1-D array: a [total_slots, sw] 2-D
     # scatter output would be tile-padded to 128 lanes on TPU (sw=4 -> 32x
     # HBM inflation, measured as a 34 GB OOM on a 67M-slot build)
-    assert total_slots * sw < 1 << 31, "table exceeds int32 flat addressing"
-    idx = jnp.where(ok, slot, jnp.int32(total_slots)) * sw  # OOR -> dropped
-    flat = jnp.zeros(total_slots * sw, dtype=jnp.uint32)
+    # rows may carry spare tail words (tight packing: sw need not divide
+    # 64), so slot word w lives at bucket * 64 + slot_in_bucket * sw + w
+    n_rows = n_buckets + PAD_BUCKETS
+    assert n_rows * ROW_U32 < 1 << 31, "table exceeds int32 flat addressing"
+    wbase = bucket * ROW_U32 + (slot - bucket * S) * sw
+    idx = jnp.where(ok, wbase, jnp.int32(n_rows * ROW_U32))  # OOR -> dropped
+    flat = jnp.zeros(n_rows * ROW_U32, dtype=jnp.uint32)
     for w in range(W):
         flat = flat.at[idx + w].set(keys[:, w], mode="drop",
                                     indices_are_sorted=True)
@@ -83,7 +87,7 @@ def build_from_run(h, keys, counts, n_buckets: int, owner_bits: int = 0):
 _build_jit = jax.jit(build_from_run, static_argnames=("n_buckets", "owner_bits"))
 
 
-def build_table(run, k: int, load_factor: float = 0.6, owner_bits: int = 0):
+def build_table(run, k: int, load_factor: float = 0.7, owner_bits: int = 0):
     """Host driver: size the table for the run and build it, growing on the
     (rare) overflow beyond PAD_BUCKETS. run = (h, keys, counts, n_active)
     from RunAccumulator.finish(). Returns the device table."""
@@ -93,7 +97,7 @@ def build_table(run, k: int, load_factor: float = 0.6, owner_bits: int = 0):
     S = ROW_U32 // sw
     n_slots = slots_for(max(int(n_active), 1), load_factor)
     while True:
-        n_buckets = max(1, n_slots // S)
+        n_buckets = max(1, -(-n_slots // S))
         tab, n_failed = _build_jit(h, keys, counts, n_buckets, owner_bits)
         if int(n_failed) == 0:
             return tab

@@ -27,7 +27,6 @@ class HostKmerTable:
         assert tab.shape[1] == ROW_U32
         self.tab = tab
         self.n_buckets = tab.shape[0] - PAD_BUCKETS
-        self.bmask = np.uint32(self.n_buckets - 1)
 
     # -- construction -------------------------------------------------------
 
@@ -35,13 +34,12 @@ class HostKmerTable:
     def empty(cls, k: int, n_slots: int) -> "HostKmerTable":
         W = words_per_kmer(k)
         sw = slot_words_for(W)
-        n_buckets = max(1, n_slots // (ROW_U32 // sw))
-        assert n_buckets & (n_buckets - 1) == 0
+        n_buckets = max(1, -(-n_slots // (ROW_U32 // sw)))
         return cls(k, np.zeros((n_buckets + PAD_BUCKETS, ROW_U32), dtype=np.uint32))
 
     @classmethod
     def builder(cls, k: int, n_total: int,
-                load_factor: float = 0.6) -> "SortedRunTableBuilder":
+                load_factor: float = 0.7) -> "SortedRunTableBuilder":
         """Incremental from_sorted_run: push (mix32,key)-ordered record
         slices as they land from the device so placement overlaps the
         d2h transfer. Raises TableOverflow if n_total undersized the table
@@ -50,7 +48,7 @@ class HostKmerTable:
 
     @classmethod
     def from_sorted_run(cls, k: int, keys: np.ndarray, counts: np.ndarray,
-                        load_factor: float = 0.6,
+                        load_factor: float = 0.7,
                         h: np.ndarray | None = None) -> "HostKmerTable":
         """Numpy twin of table.build.build_from_run: one cummax waterfall
         places a DISTINCT key stream already sorted by (mix32(key), key)
@@ -78,7 +76,7 @@ class HostKmerTable:
             # one sequential native pass (jt_waterfall_build) — the numpy
             # cummax + scatter chain costs ~18.5 s at 55.7 M records
             while True:
-                n_buckets = max(1, n_slots // S)
+                n_buckets = max(1, -(-n_slots // S))
                 flat = np.zeros((n_buckets + PAD_BUCKETS) * ROW_U32,
                                 dtype=np.uint32)
                 ok = native_jf.waterfall_build(
@@ -90,7 +88,7 @@ class HostKmerTable:
                 n_slots *= 2
         rank = np.arange(N, dtype=np.int64)
         while True:
-            n_buckets = max(1, n_slots // S)
+            n_buckets = max(1, -(-n_slots // S))
             home = home_of(np, h, n_buckets).astype(np.int64)
             slot = rank + np.maximum.accumulate(home * S - rank) if N else rank
             total_slots = (n_buckets + PAD_BUCKETS) * S
@@ -100,8 +98,9 @@ class HostKmerTable:
             ):
                 break
             n_slots *= 2
-        flat = np.zeros(total_slots * sw, dtype=np.uint32)
-        base = slot * sw
+        flat = np.zeros((n_buckets + PAD_BUCKETS) * ROW_U32, dtype=np.uint32)
+        # rows may carry spare tail words: word base = bucket*64 + local*sw
+        base = (slot // S) * ROW_U32 + (slot % S) * sw
         for w in range(W):
             flat[base + w] = keys[:, w]
         flat[base + (sw - 1)] = counts
@@ -115,16 +114,16 @@ class HostKmerTable:
         B = keys.shape[0]
         keys = np.ascontiguousarray(keys, dtype=np.uint32)
         counts = np.asarray(counts, dtype=np.uint32)
-        flat = self.tab.reshape(-1, sw)
+        flat = self.tab.reshape(-1)  # word-flat (rows may have spare words)
         ids = np.arange(B, dtype=np.uint32)
         home = home_of(np, hash_words_np(keys), self.n_buckets).astype(np.int64)
         off = np.zeros(B, dtype=np.int64)
         pending = np.ones(B, dtype=bool)
-        claim = np.full(flat.shape[0], 0xFFFFFFFF, dtype=np.uint32)
+        claim = np.full(self.tab.shape[0] * S, 0xFFFFFFFF, dtype=np.uint32)
         rounds = 0
         while pending.any():
             b = home + off
-            rows = self.tab[b].reshape(-1, S, sw)
+            rows = self.tab[b][:, : S * sw].reshape(-1, S, sw)
             occ = rows[:, :, sw - 1] != 0
             key_eq = (rows[:, :, :W] == keys[:, None, :]).all(axis=-1) & occ
             hit_slot = key_eq.argmax(axis=1)
@@ -136,15 +135,19 @@ class HostKmerTable:
             if (is_full & (off >= PAD_BUCKETS)).any():
                 raise RuntimeError("host table full (probe ran past pad)")
 
-            np.add.at(flat[:, sw - 1], b[is_match] * S + hit_slot[is_match],
-                      counts[is_match])
+            np.add.at(
+                flat,
+                b[is_match] * ROW_U32 + hit_slot[is_match] * sw + (sw - 1),
+                counts[is_match],
+            )
 
-            tgt = b * S + first_empty
+            tgt = b * S + first_empty  # slot-granular claim index
             np.minimum.at(claim, tgt[is_empty], ids[is_empty])
             won = is_empty & (claim[tgt] == ids)
-            wt = tgt[won]
-            flat[wt, :W] = keys[won]
-            flat[wt, sw - 1] = counts[won]
+            wb = b[won] * ROW_U32 + first_empty[won] * sw
+            for w in range(W):
+                flat[wb + w] = keys[won, w]
+            flat[wb + (sw - 1)] = counts[won]
             claim[tgt[is_empty]] = 0xFFFFFFFF
 
             pending = pending & ~is_match & ~won
@@ -165,7 +168,7 @@ class HostKmerTable:
         off = np.zeros(B, dtype=np.int64)
         while pending.any():
             b = np.minimum(home + off, self.n_buckets + PAD_BUCKETS - 1)
-            rows = self.tab[b].reshape(-1, S, sw)
+            rows = self.tab[b][:, : S * sw].reshape(-1, S, sw)
             occ = rows[:, :, sw - 1] != 0
             key_eq = (rows[:, :, :W] == keys[:, None, :]).all(axis=-1) & occ
             hit = key_eq.any(axis=1)
@@ -202,7 +205,7 @@ class HostKmerTable:
         b = home_of_int(h, self.n_buckets)
         last = self.n_buckets + PAD_BUCKETS - 1
         while True:
-            rows = self.tab[b].reshape(S, sw)
+            rows = self.tab[b][: S * sw].reshape(S, sw)
             occ = rows[:, sw - 1] != 0
             eq = (rows[:, :W] == key).all(axis=1) & occ
             if eq.any():
@@ -245,8 +248,8 @@ class HostKmerTable:
     def items(self):
         """(keys uint32 [N, W], counts uint32 [N]) over occupied slots, in
         slot order."""
-        sw = self.sw
-        flat = self.tab.reshape(-1, sw)
+        sw, S = self.sw, self.slots
+        flat = self.tab[:, : S * sw].reshape(-1, sw)
         occ = flat[:, sw - 1] != 0
         return flat[occ][:, : self.W], flat[occ][:, sw - 1]
 
@@ -271,9 +274,10 @@ class SortedRunTableBuilder:
         self.sw = slot_words_for(self.W)
         self.S = ROW_U32 // self.sw
         n_slots = slots_for(max(n_total, 1), load_factor)
-        self.n_buckets = max(1, n_slots // self.S)
+        self.n_buckets = max(1, -(-n_slots // self.S))
         self.total_slots = (self.n_buckets + PAD_BUCKETS) * self.S
-        self.flat = np.zeros(self.total_slots * self.sw, dtype=np.uint32)
+        self.flat = np.zeros((self.n_buckets + PAD_BUCKETS) * ROW_U32,
+                             dtype=np.uint32)
         self._carry = np.int64(np.iinfo(np.int64).min)
         self._rank0 = 0
         self._native = native_jf.available()
@@ -313,7 +317,7 @@ class SortedRunTableBuilder:
             np.max(slot // self.S - home)
         ) > PAD_BUCKETS:
             raise TableOverflow
-        base = slot * self.sw
+        base = (slot // self.S) * ROW_U32 + (slot % self.S) * self.sw
         for w in range(self.W):
             self.flat[base + w] = keys[:, w]
         self.flat[base + (self.sw - 1)] = np.asarray(counts, dtype=np.uint32)

@@ -9,11 +9,14 @@ from measured v5e gather behavior: XLA row-gather cost is per-index
   tab: uint32 [n_buckets + PAD_BUCKETS, 64]
        row = bucket of SLOTS slots x SLOT_WORDS u32:
          slot words 0..W-1 : key words (word 0 least significant)
-         slot word  SLOT_WORDS-1 : count; 0 == empty
-       SLOT_WORDS = 4 (k <= 48) or 8 (k <= 112), SLOTS = 64 // SLOT_WORDS.
+         slot word  W      : count; 0 == empty
+       SLOT_WORDS = W + 1 (tight packing), SLOTS = 64 // SLOT_WORDS;
+       row words past SLOTS * SLOT_WORDS are spare (always zero). k <= 32
+       packs 21 slots/bucket (12 B/slot), k <= 48 16 slots (16 B/slot).
 
 Probing is bucket-granular linear probing WITHOUT wraparound: home bucket
-b = mix32(key) & (n_buckets-1); overflow spills to b+1, ..., bounded by
+b = mulhi(mix32(key), n_buckets) (ops.hashing.home_of — monotone in the
+hash, any n_buckets); overflow spills to b+1, ..., bounded by
 PAD_BUCKETS (inserts report pending beyond that, callers grow). Invariant:
 a stored key's chain [home..its bucket] is all-full, so a lookup is
 *definitively* absent at the first bucket containing an empty slot — one
@@ -52,23 +55,19 @@ _DROP = np.uint32(0x7FFFFFFF)  # out-of-range index; scatters use mode="drop"
 
 
 def slot_words_for(W: int) -> int:
-    """Words per slot: smallest power-of-two > W (key words + count word).
+    """Words per slot: W key words + 1 count word, tightly packed (spare
+    row-tail words stay zero).
 
-    Wide mers degrade gracefully: W <= 31 packs 2 slots/bucket, W <= 63 one
-    slot/bucket (bucket-linear probing then degenerates to plain linear
+    Wide mers degrade gracefully: W = 31 still packs 2 slots/bucket, W <= 63
+    one slot/bucket (bucket-linear probing then degenerates to plain linear
     probing, still bounded by PAD_BUCKETS). The reference's multi-word mers
     are unbounded (jf:include/jellyfish/mer_dna.hpp:626-667); k <= 1008
-    covers every practical counting k at 4 B/word table cost."""
-    if W <= 3:
-        return 4
-    if W <= 7:
-        return 8
-    if W <= 15:
-        return 16
-    if W <= 31:
-        return 32
+    covers every practical counting k at 4 B/word table cost. The earlier
+    power-of-two slot stride cost k <= 32 tables 16 B/slot for 12 B of
+    payload — 25% of the r4 scan table's HBM for alignment nobody needed
+    (slot addressing is a multiply either way)."""
     assert W <= 63, "k too large (max 1008)"
-    return 64
+    return W + 1
 
 
 def _layout(tab, keys):
@@ -79,13 +78,11 @@ def _layout(tab, keys):
 
 
 def empty_table(k: int, n_slots: int) -> jax.Array:
-    """Allocate an empty table with capacity n_slots keys (power of two,
-    >= one bucket's worth)."""
+    """Allocate an empty table with capacity >= n_slots keys (any size)."""
     W = words_per_kmer(k)
     sw = slot_words_for(W)
     slots = ROW_U32 // sw
-    n_buckets = max(1, n_slots // slots)
-    assert n_buckets & (n_buckets - 1) == 0, "n_slots/slots must be a power of 2"
+    n_buckets = max(1, -(-n_slots // slots))
     return jnp.zeros((n_buckets + PAD_BUCKETS, ROW_U32), dtype=jnp.uint32)
 
 
@@ -94,15 +91,15 @@ def table_capacity(tab, k: int) -> int:
     return (tab.shape[0] - PAD_BUCKETS) * (ROW_U32 // sw)
 
 
-def slots_for(n_keys: int, load_factor: float = 0.6) -> int:
-    """Smallest power-of-two slot count holding n_keys at the load factor."""
-    need = max(64, int(math.ceil(n_keys / load_factor)))
-    return 1 << (need - 1).bit_length()
+def slots_for(n_keys: int, load_factor: float = 0.7) -> int:
+    """Slot count holding n_keys at the load factor (no power-of-two
+    rounding: home_of range-maps the hash onto any bucket count)."""
+    return max(64, int(math.ceil(n_keys / load_factor)))
 
 
 def _slot_view(rows, W, sw, slots):
-    """rows [B, 64] -> (keys [B, S, W], counts [B, S])."""
-    s = rows.reshape(rows.shape[0], slots, sw)
+    """rows [B, 64] -> (keys [B, S, W], counts [B, S]); drops spare words."""
+    s = rows[:, : slots * sw].reshape(rows.shape[0], slots, sw)
     return s[:, :, :W], s[:, :, sw - 1]
 
 
@@ -169,8 +166,6 @@ def insert_kmers(tab, keys, counts, active, max_rounds: int = 512,
     tab = tab | vzero
     claim = jnp.full((n_buckets + PAD_BUCKETS) * slots, _EMPTY_CLAIM, jnp.uint32) | vzero
 
-    flat_tab_shape = ((n_buckets + PAD_BUCKETS) * slots, sw)
-
     def cond(state):
         tab, claim, off, pending, r, stall, placed, failed = state
         return jnp.any(pending) & (r < max_rounds) & (stall < 8)
@@ -191,10 +186,14 @@ def insert_kmers(tab, keys, counts, active, max_rounds: int = 512,
         is_full = pending & ~is_match & ~has_empty
         beyond = is_full & (off >= PAD_BUCKETS)
 
-        flat = tab.reshape(flat_tab_shape)
+        # word-flat view: rows may have spare tail words, so slot word w
+        # lives at bucket * ROW_U32 + slot * sw + w
+        flat = tab.reshape(-1)
         # add counts for matches
-        add_idx = jnp.where(is_match, b * slots + hit_slot, _DROP)
-        flat = flat.at[add_idx, sw - 1].add(jnp.where(is_match, counts, 0), mode="drop")
+        add_idx = jnp.where(
+            is_match, b * ROW_U32 + hit_slot * sw + (sw - 1), _DROP
+        )
+        flat = flat.at[add_idx].add(jnp.where(is_match, counts, 0), mode="drop")
         # claim an empty slot, spreading contenders of one bucket across its
         # empty slots (kills the one-key-per-bucket-per-round serialization;
         # safe because lanes only advance buckets when the bucket is FULL, so
@@ -205,16 +204,18 @@ def insert_kmers(tab, keys, counts, active, max_rounds: int = 512,
         pick_slot = jnp.argmax(
             (empties_cum == (spread + 1)[:, None]) & ~occ, axis=1
         ).astype(jnp.uint32)
-        tgt = b * slots + jnp.where(has_empty, pick_slot, first_empty)
+        sl = jnp.where(has_empty, pick_slot, first_empty)
+        tgt = b * slots + sl  # slot-granular claim index
         claim_idx = jnp.where(is_empty, tgt, _DROP)
         claim = claim.at[claim_idx].min(ids, mode="drop")
         won = is_empty & (jnp.take(claim, tgt, mode="clip") == ids)
-        slot_rows = jnp.zeros((B, sw), dtype=jnp.uint32)
-        slot_rows = slot_rows.at[:, :W].set(keys)
-        slot_rows = slot_rows.at[:, sw - 1].set(counts)
-        win_idx = jnp.where(won, tgt, _DROP)
-        flat = flat.at[win_idx, :].set(
-            jnp.where(won[:, None], slot_rows, 0), mode="drop"
+        wbase = b * ROW_U32 + sl * sw
+        for w in range(W):
+            flat = flat.at[jnp.where(won, wbase + w, _DROP)].set(
+                keys[:, w], mode="drop"
+            )
+        flat = flat.at[jnp.where(won, wbase + (sw - 1), _DROP)].set(
+            counts, mode="drop"
         )
         claim = claim.at[claim_idx].set(_EMPTY_CLAIM, mode="drop")
         tab = flat.reshape(tab.shape)
@@ -236,7 +237,8 @@ def insert_kmers(tab, keys, counts, active, max_rounds: int = 512,
 
 
 def lookup_kmers(tab, keys, valid, max_rounds: int | None = None,
-                 owner_bits: int = 0):
+                 owner_bits: int = 0, n_buckets_global: int | None = None,
+                 home_base=None):
     """Batched count lookup: one gather resolves hits and definitive misses;
     full-bucket lanes continue via compacted rounds.
 
@@ -247,11 +249,27 @@ def lookup_kmers(tab, keys, valid, max_rounds: int | None = None,
     PAD_BUCKETS+2 of its own probes (the insert invariant), so the default
     round bound ceil(B/C)*(PAD_BUCKETS+2) cannot starve lanes even under
     pathological clustering — no silent zeros.
+
+    Ranged mode (n_buckets_global + home_base): ``tab`` is a bucket-range
+    SLICE [home_base, home_base + local_n_buckets) of a larger table with
+    ``n_buckets_global`` buckets (plus the next PAD_BUCKETS rows, so probe
+    chains that spill past the range's end stay resident). Lanes whose
+    global home falls outside the range read 0 — the beyond-HBM partitioned
+    scan combines P such passes with an elementwise max
+    (parallel.scanner.PartitionedDeviceScanner). home_base may be a traced
+    scalar so one program serves every partition.
     """
     n_buckets, W, sw, slots = _layout(tab, keys)
     B = keys.shape[0]
     vzero = valid[0].astype(jnp.uint32) * jnp.uint32(0)
-    home = home_of(jnp, mix32(jnp, keys), n_buckets, owner_bits) | vzero
+    if n_buckets_global is None:
+        home = home_of(jnp, mix32(jnp, keys), n_buckets, owner_bits) | vzero
+    else:
+        hg = home_of(jnp, mix32(jnp, keys), n_buckets_global, owner_bits)
+        base = jnp.asarray(home_base, dtype=jnp.uint32)
+        in_range = (hg >= base) & (hg < base + jnp.uint32(n_buckets))
+        valid = valid & in_range
+        home = (jnp.where(in_range, hg - base, 0) | vzero).astype(jnp.uint32)
 
     def probe(rows, kk):
         skeys, scnt = _slot_view(rows, W, sw, slots)
@@ -314,7 +332,14 @@ def table_histogram(tab, max_count: int, k: int | None = None, W: int | None = N
     if W is None:
         W = words_per_kmer(k)
     sw = slot_words_for(W)
-    counts = tab.reshape(-1)[sw - 1 :: sw]
+    slots = ROW_U32 // sw
+    if slots * sw == ROW_U32:
+        counts = tab.reshape(-1)[sw - 1 :: sw]
+    else:
+        # spare row-tail words: slice them off first (materializes a
+        # roughly table-sized copy; fine at the sizes this runs at — the
+        # chromosome-scale histogram derives from pulled counts instead)
+        counts = tab[:, : slots * sw].reshape(-1)[sw - 1 :: sw]
     clipped = jnp.clip(counts, 0, max_count)
     return jnp.bincount(clipped, length=max_count + 1).at[0].set(0)
 
@@ -324,7 +349,9 @@ def table_stats(tab, k: int):
     (sub_commands/stats_main.cc:32-46). Host-side numpy (uint64 totals)."""
     arr = np.asarray(tab)
     sw = slot_words_for(words_per_kmer(k))
-    counts = arr.reshape(-1, sw)[:, sw - 1].astype(np.uint64)
+    slots = ROW_U32 // sw
+    counts = (arr.reshape(-1, ROW_U32)[:, : slots * sw]
+              .reshape(-1, sw)[:, sw - 1].astype(np.uint64))
     occupied = counts != 0
     return (
         int((counts == 1).sum()),
@@ -342,7 +369,7 @@ class DeviceKmerTable:
     tab: jax.Array
 
     @classmethod
-    def create(cls, k: int, n_keys_estimate: int, load_factor: float = 0.6):
+    def create(cls, k: int, n_keys_estimate: int, load_factor: float = 0.7):
         return cls(k=k, tab=empty_table(k, slots_for(n_keys_estimate, load_factor)))
 
     @property

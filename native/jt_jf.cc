@@ -335,20 +335,21 @@ extern "C" int jt_waterfall_extend(const uint32_t* keys, const uint32_t* counts,
                                    const uint32_t* h, int64_t n, int W, int sw,
                                    int64_t n_buckets, int pad_buckets,
                                    uint32_t* tab, int64_t* io_last_slot) {
-  if (n < 0 || W <= 0 || sw <= 0 || sw > 64 || W >= sw || 64 % sw != 0 ||
+  if (n < 0 || W <= 0 || sw <= 0 || sw > 64 || W >= sw ||
       n_buckets <= 0 || pad_buckets < 0 || io_last_slot == nullptr)
     return 1;
-  int S = 64 / sw;
-  int lb = 0;
-  while ((1ll << lb) < n_buckets) ++lb;
+  int S = 64 / sw;  // slots per bucket; rows may have spare tail words
   int64_t total_slots = (n_buckets + pad_buckets) * (int64_t)S;
   int64_t slot = *io_last_slot;
   for (int64_t i = 0; i < n; ++i) {
-    int64_t home = n_buckets <= 1 ? 0 : (int64_t)(h[i] >> (32 - lb));
+    // home = mulhi(h, n_buckets): hash range-mapped onto [0, n_buckets)
+    // (ops.hashing.home_of) — monotone in h, n_buckets need not be pow2
+    int64_t home =
+        n_buckets <= 1 ? 0 : (int64_t)(((uint64_t)h[i] * (uint64_t)n_buckets) >> 32);
     int64_t target = home * S;
     slot = slot + 1 > target ? slot + 1 : target;
     if (slot >= total_slots || slot / S - home > pad_buckets) return 1;
-    uint32_t* dst = tab + slot * sw;  // 64 == S * sw: flat slot addressing
+    uint32_t* dst = tab + (slot / S) * 64 + (slot % S) * sw;
     memcpy(dst, keys + i * W, 4 * (size_t)W);
     dst[sw - 1] = counts[i];
   }

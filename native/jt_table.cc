@@ -96,13 +96,12 @@ inline void effective_canonical_key(const char* s, int64_t slen, int k, int W,
   for (int j = 0; j < W; ++j) key[j] = sel[j];
 }
 
-// Home bucket = TOP log2(n_buckets) hash bits (jasper_tpu.ops.hashing
-// home_of with owner_bits=0 — host tables are single-shard).
+// Home bucket = hash range-mapped onto [0, n_buckets) with a fixed-point
+// multiply-high (jasper_tpu.ops.hashing home_of with owner_bits=0 — host
+// tables are single-shard). Monotone in h; n_buckets need not be pow2.
 inline uint64_t home_of(uint32_t h, uint64_t n_buckets) {
   if (n_buckets <= 1) return 0;
-  int lb = 0;
-  while ((1ull << lb) < n_buckets) ++lb;
-  return (uint64_t)(h >> (32 - lb));
+  return ((uint64_t)h * n_buckets) >> 32;
 }
 
 // Probe one packed key. Layout args as documented above.
@@ -133,8 +132,10 @@ inline uint32_t probe(const uint32_t* tab, uint64_t n_buckets, int pad_buckets,
 // Entry-point argument validation: fail closed (return 0 / zero-fill)
 // rather than overflowing the key[MAX_W] stack arrays on a bad k/W/sw.
 inline bool args_ok(int k, int W, int sw) {
+  // sw need not divide 64 (tight packing leaves spare row-tail words);
+  // slots = 64 / sw truncates past them.
   return k > 0 && W > 0 && W <= MAX_W && sw > 0 && sw <= ROW_U32 && W < sw &&
-         (ROW_U32 % sw) == 0 && 2 * (int64_t)k <= 32 * (int64_t)W;
+         2 * (int64_t)k <= 32 * (int64_t)W;
 }
 
 extern "C" {

@@ -69,11 +69,16 @@ def test_insert_lookup_vs_dict(k):
 def test_table_overflow_reported():
     """More distinct keys than the whole probe chain (home bucket + pad
     buckets) can hold: the remainder must be reported pending."""
-    from jasper_tpu.table.kmer_table import PAD_BUCKETS
+    from jasper_tpu.table.kmer_table import (
+        PAD_BUCKETS,
+        ROW_U32,
+        slot_words_for,
+    )
 
     k = 11
-    tab = empty_table(k, 16)  # 1 home bucket (16 slots) + pad buckets
-    capacity = (1 + PAD_BUCKETS) * 16
+    slots = ROW_U32 // slot_words_for(words_per_kmer(k))
+    tab = empty_table(k, slots)  # 1 home bucket + pad buckets
+    capacity = (1 + PAD_BUCKETS) * slots
     n = capacity + 72
     rng = np.random.default_rng(0)
     keys = np.unique(random_keys(rng, n + 200, words_per_kmer(k), 2 * k), axis=0)[:n]
