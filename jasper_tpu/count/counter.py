@@ -112,6 +112,7 @@ def count_reads(
     partition=None,
     codes_sink=None,
     codes_source=None,
+    accumulator=None,
 ):
     """Count k-mers of all reads in `paths`; returns the table.
 
@@ -159,8 +160,8 @@ def count_reads(
             on_full, n_slots, return_run, return_acc, on_full_run,
             partition, codes_sink, codes_source,
         )
-    acc = RunAccumulator(unit=max(1 << 14, n_windows // 8),
-                         stage_lanes=8 * n_windows)
+    acc = accumulator if accumulator is not None else RunAccumulator(
+        unit=max(1 << 14, n_windows // 8), stage_lanes=8 * n_windows)
     occupied = 0
     n_chunks = 0
     chunk_iter = (iter(codes_source) if codes_source is not None
@@ -174,9 +175,12 @@ def count_reads(
         if on_full_run is not None and acc.n_settled_lanes() > n_slots:
             # eager eviction: the caller pulls the resident levels to host
             # and counting resumes into a fresh ladder (device memory stays
-            # bounded regardless of total distinct keys)
+            # bounded regardless of total distinct keys). An injected
+            # accumulator (single-pass partitioned counting) evicts inside
+            # the callback and stays in place.
             on_full_run(acc)
-            acc = RunAccumulator(unit=acc.unit, stage_lanes=acc.stage_lanes)
+            if accumulator is None:
+                acc = RunAccumulator(unit=acc.unit, stage_lanes=acc.stage_lanes)
         if key_filter is None:
             keys, valid = extract_windows(jnp.asarray(codes), k, canonical,
                                           partition=partition)
@@ -583,6 +587,20 @@ def count_reads_to_host(
         while est // P > budget and P < 16:
             P *= 2
     seekable = all(isinstance(q, str) for q in paths)
+    if P > 1 and mesh is None:
+        from jasper_tpu.count.sorted_runs import PartitionSliceOverflow
+
+        try:
+            return _count_partitioned_single_pass(
+                paths, k, P, chunk_len, slice_lanes, canonical,
+                min_qual_char, progress, _log, return_device_table)
+        except PartitionSliceOverflow:
+            # adversarial hash skew (never under an honest mix32): redo
+            # with the capacity-free P-pass extraction filter
+            if not seekable:
+                raise
+            _log("count: partition slice overflow — redoing with the "
+                 "P-pass filter")
     if P > 1 and seekable:
         return _count_partitioned(
             paths, k, P, mesh, chunk_len, slice_lanes, canonical,
@@ -719,6 +737,15 @@ def _count_partitioned(paths, k, P, mesh, chunk_len, slice_lanes, canonical,
             pending[-1].extend((lambda s=s: s) for s in vs)
         _log(f"count: partition pass {p_idx + 1}/{P} counted, pull in flight")
     _materialize_prev()
+    return _host_finish_from_parts(parts, k, _log, return_device_table)
+
+
+def _host_finish_from_parts(parts, k, _log, return_device_table):
+    """Concatenate per-partition host streams (already in global (h, key)
+    order: partition = top hash bits) into the standard counting result
+    (host_table, rkeys, rcounts[, dev_tab])."""
+    from jasper_tpu.table.host_table import HostKmerTable
+
     if not parts:
         host_table = HostKmerTable.empty(k, 64)
         out = (host_table, np.zeros((0, host_table.W), np.uint32),
@@ -740,6 +767,86 @@ def _count_partitioned(paths, k, P, mesh, chunk_len, slice_lanes, canonical,
     return out + (dev_tab,) if return_device_table else out
 
 
+def _count_partitioned_single_pass(paths, k, P, chunk_len, slice_lanes,
+                                   canonical, min_qual_char, progress, _log,
+                                   return_device_table):
+    """ONE pass over the reads feeding P hash-partition LSM ladders
+    (sorted_runs.PartitionedRunAccumulator): each window is extracted and
+    stage-sorted exactly once, and the compacted distinct stream splits into
+    per-partition slices on device. Replaces the P-pass extraction filter
+    (r4) whose passes redid the extraction and staging sorts P times to keep
+    1/P of the lanes — measured as the gap between the 20 Mbp count rate and
+    the 100 Mbp P=4 rate (BASELINE.md). Residents hold ALL partitions'
+    distinct sets; if they outgrow the budget (the -s estimate lied low or
+    the set really is chromosome-XL), the largest ladder evicts to the host
+    asynchronously and its streams merge per partition at the finish.
+    """
+    from jasper_tpu.count.sorted_runs import PartitionedRunAccumulator
+
+    n_windows = chunk_len - k + 1
+    pacc = PartitionedRunAccumulator(P, unit=max(1 << 14, n_windows // 8),
+                                     stage_lanes=8 * n_windows)
+    part_streams: dict[int, list] = {p: [] for p in range(P)}
+    pending_evic: list = []  # (p, thunk) issued, transfers in flight
+
+    def _materialize_evictions():
+        for p, t in pending_evic:
+            s = t()
+            if len(s[0]):
+                part_streams[p].append(s)
+        pending_evic.clear()
+
+    def _evict(_acc):
+        # largest ladder flushes to the host; its transfers overlap the
+        # counting that continues into the (now empty) ladder
+        _materialize_evictions()
+        sizes = [(pacc.accs[p].n_settled_lanes(), p) for p in range(P)]
+        _, pbig = max(sizes)
+        pending_evic.extend(
+            (pbig, t)
+            for t in start_all_level_pulls(pacc.accs[pbig], slice_lanes))
+        _log(f"count: partition ladder {pbig} eviction started "
+             f"({len(pending_evic)} level runs in flight)")
+
+    count_reads(paths, k, chunk_len=chunk_len, canonical=canonical,
+                min_qual_char=min_qual_char, progress=progress,
+                return_acc=True, accumulator=pacc,
+                n_slots=int(1.5 * SCALE_FINISH_LANES), on_full_run=_evict)
+    pacc.drain()
+    _log(f"count: device counting done "
+         f"({pacc.n_resident_lanes()} resident lanes, {P} ladders)")
+    _materialize_evictions()
+
+    # finish ladders in partition order; ladder p's pull rides the link
+    # while ladder p+1's device merge-all runs
+    prev = None
+    for p in range(P):
+        run = pacc.accs[p].finish()
+        nxt = None
+        if run is not None:
+            h, keys, counts, n = run
+            if n:
+                nxt = (p, start_level_pull(h[:n], keys[:n], counts[:n],
+                                           slice_lanes))
+        if prev is not None:
+            s = prev[1]()
+            if len(s[0]):
+                part_streams[prev[0]].append(s)
+        prev = nxt
+    if prev is not None:
+        s = prev[1]()
+        if len(s[0]):
+            part_streams[prev[0]].append(s)
+
+    parts = []
+    for p in range(P):
+        ss = part_streams[p]
+        if not ss:
+            continue
+        parts.append(ss[0] if len(ss) == 1 else merge_host_streams(ss))
+    return _host_finish_from_parts(parts, k, _log, return_device_table)
+
+
 def _device_table_from_host_run(rh, rkeys, rcounts, k):
     """Push the compact merged run (16 B/record) and build the scan table
     ON DEVICE — ~2.4x fewer h2d bytes than pushing the built table, and the
@@ -751,8 +858,8 @@ def _device_table_from_host_run(rh, rkeys, rcounts, k):
     from jasper_tpu.table.kmer_table import PAD_BUCKETS, ROW_U32,         slot_words_for, slots_for
 
     sw = slot_words_for(words_per_kmer(k))
-    n_slots = slots_for(max(len(rh), 1), 0.6)
-    n_buckets = max(1, n_slots // (ROW_U32 // sw))
+    n_slots = slots_for(max(len(rh), 1))
+    n_buckets = max(1, -(-n_slots // (ROW_U32 // sw)))
     if (n_buckets + PAD_BUCKETS) * ROW_U32 >= (1 << 31):
         return None
     run = (jnp.asarray(rh), jnp.asarray(rkeys), jnp.asarray(rcounts),
@@ -773,6 +880,6 @@ def _device_table_fits(n_records: int, k: int) -> bool:
     )
 
     sw = slot_words_for(words_per_kmer(k))
-    n_slots = slots_for(max(n_records, 1), 0.6)
-    n_buckets = max(1, n_slots // (ROW_U32 // sw))
+    n_slots = slots_for(max(n_records, 1))
+    n_buckets = max(1, -(-n_slots // (ROW_U32 // sw)))
     return (n_buckets + PAD_BUCKETS) * ROW_U32 < (1 << 31)

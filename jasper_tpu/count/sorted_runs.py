@@ -223,6 +223,59 @@ def _flush_stage_jit(key_parts, valid_parts):
     return _compact(h, skeys, totals)
 
 
+@functools.partial(jax.jit, static_argnames=("P", "C"))
+def _flush_stage_split_jit(key_parts, valid_parts, P: int, C: int):
+    """Flush a raw-window stage and SPLIT the compacted run into P
+    partition slices by the hash's top log2(P) bits — the single-extraction
+    heart of partitioned counting (each window is extracted and sorted
+    exactly once; the P-pass design re-extracted and re-sorted the full
+    stream P times to keep 1/P of it, BASELINE.md r4 weak #1).
+
+    The compacted run is (h, key)-ascending with actives first, so each
+    partition's actives are one contiguous range [s_p, e_p); partition p
+    ships as a fixed C-lane window dynamically sliced at s_p, out-of-range
+    lanes masked dead, rolled so its actives start at lane 0 (the run
+    contract). Returns (hs, keys, counts) as P-tuples, n_act [P], and the
+    total count of actives that fell past a slice's capacity — nonzero only
+    if the hash is adversarially skewed (capacity is sized ~1000 sigma over
+    the binomial mean); callers must then redo with the multi-pass path.
+    """
+    keys = jnp.concatenate(list(key_parts), axis=0)
+    valid = jnp.concatenate(list(valid_parts))
+    h, skeys, totals = make_run_ones(keys, valid)
+    h, skeys, totals, n_act = _compact(h, skeys, totals)
+    B = h.shape[0]
+    W = skeys.shape[1]
+    bits = max(P.bit_length() - 1, 0)
+    hkey = jnp.where(totals > 0, h, U32_MAX)  # actives ascend, dead at end
+    bvals = (jnp.arange(1, P, dtype=jnp.uint32) << jnp.uint32(32 - bits))
+    inner = jnp.searchsorted(hkey, bvals).astype(jnp.int32)
+    starts_b = jnp.concatenate([jnp.zeros(1, jnp.int32), inner])
+    ends_b = jnp.concatenate([inner, n_act.astype(jnp.int32)[None]])
+    Cc = min(C, B)
+    idx = jnp.arange(Cc, dtype=jnp.int32)
+    hs, ks, cs, nacts = [], [], [], []
+    ovf = jnp.int32(0)
+    for p in range(P):
+        s, e = starts_b[p], ends_b[p]
+        st = jnp.clip(s, 0, B - Cc)
+        hp = jax.lax.dynamic_slice(h, (st,), (Cc,))
+        kp = jax.lax.dynamic_slice(skeys, (st, jnp.int32(0)), (Cc, W))
+        cp = jax.lax.dynamic_slice(totals, (st,), (Cc,))
+        gi = st + idx
+        cp = jnp.where((gi >= s) & (gi < e), cp, 0)
+        sh = s - st  # dead lanes ahead of the actives after clamping
+        hp = jnp.roll(hp, -sh)
+        kp = jnp.roll(kp, -sh, axis=0)
+        cp = jnp.roll(cp, -sh)
+        hs.append(hp)
+        ks.append(kp)
+        cs.append(cp)
+        nacts.append(jnp.minimum(e - s, Cc))
+        ovf = ovf + jnp.maximum(e - s - Cc, 0)
+    return tuple(hs), tuple(ks), tuple(cs), jnp.stack(nacts), ovf
+
+
 @functools.partial(jax.jit, static_argnames=("k", "canonical", "partition"))
 def extract_windows(codes, k: int, canonical: bool = True, partition=None):
     """Code chunk -> (keys, valid) on device (the staging feed for
@@ -418,3 +471,90 @@ class RunAccumulator:
         if n_active is None:
             n_active = jnp.sum((counts > 0).astype(jnp.uint32))
         return h, keys, counts, int(n_active)
+
+
+class PartitionSliceOverflow(RuntimeError):
+    """A stage flush had more actives in one hash partition than the slice
+    capacity (~1000 sigma past the binomial mean — adversarial hash skew).
+    Callers redo the count with the P-pass extraction filter, which has no
+    capacity assumption."""
+
+
+class PartitionedRunAccumulator:
+    """P hash-partition LSM ladders fed by ONE shared staging buffer.
+
+    The single-pass form of partitioned counting: every chunk's windows are
+    staged once, each stage flush runs one extraction-order sort
+    (_flush_stage_split_jit), and the compacted distinct stream splits into
+    P contiguous hash ranges, one per ladder. Equivalent output to P
+    filtered passes (partitions are disjoint; each ladder sees exactly the
+    partition-p subsequence of the same global stream) at 1/P of the
+    extraction and staging-sort work. Device memory holds ALL partitions'
+    distinct sets — callers bound that with the per-ladder eviction valve
+    (counter._count_partitioned_single_pass) and fall back to the P-pass
+    filter when the estimate exceeds what residents can hold.
+
+    Slice-capacity overflow (impossible under an honest mix32, checked
+    anyway) surfaces as PartitionSliceOverflow, asynchronously: the ovf
+    scalar of each flush rides the link with the data and is verified when
+    landed (or at finish) — no per-stage sync.
+    """
+
+    def __init__(self, P: int, unit: int, stage_lanes: int,
+                 slice_cap: int | None = None):
+        assert P & (P - 1) == 0 and P > 1, "P must be a power of two > 1"
+        self.P = P
+        self.stage_lanes = stage_lanes
+        self.C = slice_cap or (stage_lanes // P
+                               + max(stage_lanes // (4 * P), 1 << 15))
+        self.accs = [RunAccumulator(unit=unit) for _ in range(P)]
+        self._stage: list[tuple] = []
+        self._staged = 0
+        self._ovf_pending: list = []
+
+    def push_raw(self, keys, valid):
+        self._stage.append((keys, valid))
+        self._staged += keys.shape[0]
+        if self._staged >= self.stage_lanes:
+            self.flush_stage()
+
+    def _check_ovf(self, block: bool = False):
+        keep = []
+        for o in self._ovf_pending:
+            if block or _scalar_ready(o):
+                if int(o) > 0:
+                    raise PartitionSliceOverflow(
+                        f"{int(o)} actives past a partition slice capacity"
+                    )
+            else:
+                keep.append(o)
+        self._ovf_pending = keep
+
+    def flush_stage(self):
+        if not self._stage:
+            return
+        stage, self._stage, self._staged = self._stage, [], 0
+        hs, ks, cs, nacts, ovf = _flush_stage_split_jit(
+            tuple(k for k, _ in stage), tuple(v for _, v in stage),
+            self.P, self.C,
+        )
+        try:
+            ovf.copy_to_host_async()
+        except AttributeError:
+            pass
+        self._ovf_pending.append(ovf)
+        self._check_ovf()
+        for p in range(self.P):
+            self.accs[p]._enqueue(hs[p], ks[p], cs[p], nacts[p])
+
+    def n_resident_lanes(self) -> int:
+        return self._staged + sum(a.n_resident_lanes() for a in self.accs)
+
+    def n_settled_lanes(self) -> int:
+        return self._staged + sum(a.n_settled_lanes() for a in self.accs)
+
+    def drain(self):
+        self.flush_stage()
+        for a in self.accs:
+            a._drain(block=True)
+        self._check_ovf(block=True)

@@ -320,11 +320,20 @@ def test_eviction_overlap_matches(tmp_path):
     assert np.array_equal(c1, c2)
 
 
+def _write_fq(tmp_path, reads, name="r.fq"):
+    fq = tmp_path / name
+    with open(fq, "w") as f:
+        for i, r in enumerate(reads):
+            f.write(f"@r{i}\n{r}\n+\n{'I' * len(r)}\n")
+    return str(fq)
+
+
 def test_partitioned_counting_matches(tmp_path, monkeypatch):
-    """Hash-partitioned multi-pass counting (JT_COUNT_PARTITIONS=4) must
-    produce the identical record stream and host table as the single-pass
-    path — reference analog: jellyfish --disk bounded-memory counting
-    equals direct counting (jf:tests/merge.sh)."""
+    """Single-pass hash-partitioned counting (JT_COUNT_PARTITIONS=4: one
+    extraction, P per-partition ladders) must produce the identical record
+    stream and host table as the unpartitioned path — reference analog:
+    jellyfish --disk bounded-memory counting equals direct counting
+    (jf:tests/merge.sh)."""
     from jasper_tpu.count.counter import count_reads_to_host
 
     k = 15
@@ -334,24 +343,68 @@ def test_partitioned_counting_matches(tmp_path, monkeypatch):
                 for _ in range(rng.integers(40, 150)))
         for _ in range(250)
     ]
-    fq = tmp_path / "r.fq"
-    with open(fq, "w") as f:
-        for i, r in enumerate(reads):
-            f.write(f"@r{i}\n{r}\n+\n{'I' * len(r)}\n")
+    fq = _write_fq(tmp_path, reads)
 
-    t1, k1, c1 = count_reads_to_host([str(fq)], k, chunk_len=1024)
+    t1, k1, c1 = count_reads_to_host([fq], k, chunk_len=1024)
     logs = []
     monkeypatch.setenv("JT_COUNT_PARTITIONS", "4")
-    t2, k2, c2 = count_reads_to_host([str(fq)], k, chunk_len=1024,
+    t2, k2, c2 = count_reads_to_host([fq], k, chunk_len=1024,
                                      tlog=logs.append)
-    assert any("partition pass 4/4" in l for l in logs), logs
+    assert any("4 ladders" in l for l in logs), logs
     assert np.array_equal(k1, k2)
     assert np.array_equal(c1, c2)
     assert np.array_equal(t1.tab, t2.tab)
-    # and without the RAM codes cache (forced re-parse)
+
+
+def test_partitioned_multipass_matches(tmp_path, monkeypatch):
+    """The P-pass extraction-filter path (the mesh / overflow-fallback
+    regime) must also reproduce the unpartitioned stream, with and without
+    the RAM codes cache."""
+    from jasper_tpu.count import counter
+
+    k = 15
+    rng = np.random.default_rng(12)
+    reads = ["".join(rng.choice(list("ACGT")) for _ in range(120))
+             for _ in range(200)]
+    fq = _write_fq(tmp_path, reads)
+    _, k1, c1 = counter.count_reads_to_host([fq], k, chunk_len=1024)
+    logs = []
+    _, k2, c2 = counter._count_partitioned(
+        [fq], k, 4, None, 1024, 1 << 23, True, None, None, logs.append)
+    assert any("partition pass 4/4" in l for l in logs), logs
+    assert np.array_equal(k1, k2) and np.array_equal(c1, c2)
     monkeypatch.setenv("JT_CODES_CACHE_BYTES", "0")
-    _, k3, c3 = count_reads_to_host([str(fq)], k, chunk_len=1024)
+    _, k3, c3 = counter._count_partitioned(
+        [fq], k, 4, None, 1024, 1 << 23, True, None, None, lambda *_: None)
     assert np.array_equal(k1, k3) and np.array_equal(c1, c3)
+
+
+def test_partition_slice_overflow_falls_back(tmp_path, monkeypatch):
+    """A partition slice overflow (forced by a 1-lane slice capacity) must
+    fall back to the P-pass filter and still produce exact results."""
+    from jasper_tpu.count import counter
+    from jasper_tpu.count import sorted_runs
+
+    k = 15
+    rng = np.random.default_rng(5)
+    reads = ["".join(rng.choice(list("ACGT")) for _ in range(100))
+             for _ in range(120)]
+    fq = _write_fq(tmp_path, reads)
+    _, k1, c1 = counter.count_reads_to_host([fq], k, chunk_len=1024)
+
+    orig_init = sorted_runs.PartitionedRunAccumulator.__init__
+
+    def tiny_init(self, P, unit, stage_lanes, slice_cap=None):
+        orig_init(self, P, unit, stage_lanes, slice_cap=64)
+
+    monkeypatch.setattr(sorted_runs.PartitionedRunAccumulator, "__init__",
+                        tiny_init)
+    monkeypatch.setenv("JT_COUNT_PARTITIONS", "2")
+    logs = []
+    _, k2, c2 = counter.count_reads_to_host([fq], k, chunk_len=1024,
+                                            tlog=logs.append)
+    assert any("slice overflow" in l for l in logs), logs
+    assert np.array_equal(k1, k2) and np.array_equal(c1, c2)
 
 
 def test_device_table_matches_host_table(tmp_path):
@@ -376,24 +429,21 @@ def test_device_table_matches_host_table(tmp_path):
 
 
 def test_partitioned_valve_eviction_matches(tmp_path, monkeypatch):
-    """The partitioned path's per-pass eviction safety valve (fires when a
-    pass's ladder outgrows the device budget) must not change results."""
+    """The partitioned path's ladder-eviction safety valve (fires when the
+    resident ladders outgrow the device budget) must not change results."""
     from jasper_tpu.count import counter
 
     k = 15
     rng = np.random.default_rng(19)
     reads = ["".join(rng.choice(list("ACGT")) for _ in range(100))
              for _ in range(200)]
-    fq = tmp_path / "r.fq"
-    with open(fq, "w") as f:
-        for i, r in enumerate(reads):
-            f.write(f"@r{i}\n{r}\n+\n{'I' * len(r)}\n")
+    fq = _write_fq(tmp_path, reads)
     _, k1, c1 = counter.count_reads_to_host([str(fq)], k, chunk_len=1024)
     logs = []
     monkeypatch.setenv("JT_COUNT_PARTITIONS", "2")
     monkeypatch.setattr(counter, "SCALE_FINISH_LANES", 1024)
     _, k2, c2 = counter.count_reads_to_host([str(fq)], k, chunk_len=1024,
                                             tlog=logs.append)
-    assert any("partition-pass eviction" in l for l in logs), logs
+    assert any("ladder" in l and "eviction started" in l for l in logs), logs
     assert np.array_equal(k1, k2)
     assert np.array_equal(c1, c2)
