@@ -129,6 +129,146 @@ class ShardedDeviceScanner:
         return ContigScan(counts, valid, unsafe)
 
 
+def _scan_counts_ranged_fn(k: int, n_buckets_global: int, esc_cap: int = 8192):
+    """jit: (tab_slice, codes, b0) -> (c16, esc_idx, esc_val, n_esc) —
+    window counts against ONE bucket-range slice of the global table
+    (lookup_kmers ranged mode); out-of-range and invalid lanes read 0.
+    b0 is traced, so one program serves every partition slice."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from jasper_tpu.ops.kmer import canonical_windows_fast
+    from jasper_tpu.table.kmer_table import lookup_kmers
+
+    @jax.jit
+    def scan(tab_slice, codes, b0):
+        keys, valid = canonical_windows_fast(jnp, codes, k)
+        counts = lookup_kmers(tab_slice, keys, valid,
+                              n_buckets_global=n_buckets_global, home_base=b0)
+        n = counts.shape[0]
+        c16 = jnp.minimum(counts, jnp.uint32(0xFFFF)).astype(jnp.uint16)
+        over = counts > jnp.uint32(0xFFFF)
+        n_esc = jnp.sum(over.astype(jnp.uint32))
+        eidx = jnp.nonzero(over, size=esc_cap, fill_value=n)[0].astype(jnp.uint32)
+        safe = jnp.minimum(eidx, jnp.uint32(n - 1)).astype(jnp.int32)
+        evals = jnp.where(eidx < n, counts[safe], 0)
+        return c16, eidx, evals, n_esc
+
+    return scan
+
+
+class PartitionedDeviceScanner:
+    """Beyond-HBM polish scan on ONE chip: the table streams through the
+    device as P bucket-range slices, every window batch scans against each
+    resident slice, and counts combine with an elementwise max (each key
+    lives in exactly one partition; the others read 0).
+
+    This is the single-chip analog of the reference's out-of-core query —
+    mmapped sorted file + page cache (jf:include/jellyfish/
+    binary_dumper.hpp:112-213, mapped_file.hpp) — which let a human-scale
+    DB polish on one box. Bucket ranges slice the HOST table directly (a
+    key's probe chain lies within [home, home + PAD_BUCKETS], so a slice
+    padded by PAD_BUCKETS rows is self-contained); no per-partition rebuild.
+    Classification runs on host after the combine, identical to
+    ShardedDeviceScanner. Costs P scans + P slice pushes per prepare();
+    the replicated scanner remains the fast path for tables that fit.
+    """
+
+    def __init__(self, host_table, k: int, hbm_budget: int,
+                 divisor: int = 50, tile: int = 1 << 22):
+        from jasper_tpu.table.kmer_table import PAD_BUCKETS, ROW_U32
+
+        self.k = int(k)
+        self.divisor = divisor
+        self.tile = tile
+        self.host_table = host_table
+        self.PAD = PAD_BUCKETS
+        self.row_u32 = ROW_U32
+        N = host_table.n_buckets
+        usable = max(PAD_BUCKETS + 1,
+                     hbm_budget // (ROW_U32 * 4) - PAD_BUCKETS)
+        self.P = max(1, -(-N // usable))
+        self.part_rows = -(-N // self.P)
+        self.n_global = N
+        self._scan = _scan_counts_ranged_fn(self.k, N)
+
+    def _slice_rows(self, p: int):
+        b0 = p * self.part_rows
+        end = min(b0 + self.part_rows + self.PAD,
+                  self.n_global + self.PAD)
+        sl = self.host_table.tab[b0:end]
+        want = self.part_rows + self.PAD
+        if sl.shape[0] < want:
+            sl = np.concatenate(
+                [sl, np.zeros((want - sl.shape[0], sl.shape[1]),
+                              dtype=sl.dtype)])
+        return b0, sl
+
+    def prepare(self, seq: str, solid_thre: int):
+        import jax.numpy as jnp
+
+        from jasper_tpu.ops.codes import encode
+        from jasper_tpu.polish.device_engine import ContigScan
+
+        k, tile = self.k, self.tile
+        codes = encode(seq)
+        L = len(codes)
+        n = L - k + 1
+        if n <= 0:
+            z = np.zeros(0, bool)
+            return ContigScan(np.zeros(0, np.uint32), z, z)
+        counts = np.zeros(n, np.uint32)
+        for p in range(self.P):
+            b0, sl = self._slice_rows(p)
+            tab_p = push_table_sliced(sl)
+            b0j = jnp.uint32(b0)
+            pos = 0
+            pending = None
+
+            def _land(s, m, outs):
+                c16, eidx, evals, n_esc = outs
+                c = np.asarray(c16).astype(np.uint32)
+                ne = int(n_esc)
+                if ne:
+                    ei = np.asarray(eidx).astype(np.int64)[:ne]
+                    c[ei] = np.asarray(evals)[:ne]
+                counts[s : s + m] = np.maximum(counts[s : s + m], c[:m])
+
+            while pos < n or pending is not None:
+                nxt = None
+                if pos < n:
+                    m = min(tile, n - pos)
+                    chunk = np.full(tile + k - 1, 255, dtype=np.uint8)
+                    chunk[: m + k - 1] = codes[pos : pos + m + k - 1]
+                    outs = self._scan(tab_p, jnp.asarray(chunk), b0j)
+                    for a in outs[:1]:
+                        a.copy_to_host_async()
+                    nxt = (pos, m, outs)
+                    pos += m
+                if pending is not None:
+                    _land(*pending)
+                pending = nxt
+            del tab_p
+
+        # classification on host, identical to ShardedDeviceScanner
+        bad = (codes > 3).astype(np.int32)
+        cs = np.concatenate([[0], np.cumsum(bad)])
+        valid = (cs[k : n + k] - cs[:n]) == 0
+        counts[~valid] = 0
+        below = valid & (counts < np.uint32(solid_thre))
+        idx = np.maximum(np.arange(n) - k, 0)
+        prev = counts[idx].astype(np.uint64)
+        ceil_prev = prev // self.divisor + (prev % self.divisor != 0)
+        rel = valid & ~below & (np.arange(n) > 0) & (counts < ceil_prev)
+        prev_ok = valid[idx]
+        unsafe = (~valid) | below | rel | (~prev_ok)
+        from jasper_tpu.polish.device_engine import ContigScan
+
+        return ContigScan(counts, valid, unsafe)
+
+
 def local_data_mesh(num_devices: int | None = None, devices=None):
     """1-axis ("data",) mesh over this host's local devices for
     data-parallel counting (count_reads mesh=...); None when only one
@@ -187,6 +327,19 @@ def select_scanner(host_table, k: int, num_devices: int | None = None,
     num_devices = max(1, min(num_devices, len(devices)))
     table_bytes = host_table.tab.nbytes
     n_table, n_data = mesh_for_table(table_bytes, num_devices, hbm_budget)
+    force = os.environ.get("JASPER_TPU_SCANNER")  # test/ops override
+    if force == "replicated":
+        n_table, n_data = 1, num_devices
+    elif force == "sharded":
+        n_table = 1 << (num_devices.bit_length() - 1)
+        n_data = max(1, num_devices // n_table)
+    elif force == "partitioned" or (
+        not force and table_bytes // n_table > hbm_budget
+    ):
+        # the table exceeds every chip's share even at max sharding (on one
+        # chip: any replicated push) — stream it through as bucket-range
+        # partitions instead; the single-chip out-of-core regime
+        return PartitionedDeviceScanner(host_table, k, hbm_budget, tile=tile)
     if n_table > 1:
         mesh = make_mesh(n_table, n_data, devices=devices)
         return ShardedDeviceScanner(host_table, k, mesh,
