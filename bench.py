@@ -33,6 +33,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 GENOME_BASES = 4_000_000
+LARGE_GENOME_BASES = 64_000_000  # race-scale lookup row: the production
+#   race DBs hold 55.7M-278M keys, where gather locality is worse than the
+#   4M-key headline table (VERDICT r4 weak #3) — report both
 TILE = 1 << 20  # windows per device call
 COUNT_BASES = 32_000_000  # separate, larger input for the counting metric
 COUNT_COVERAGES = (8, 32)  # report both (r3 VERDICT: BENCH said 8x while
@@ -186,6 +189,42 @@ def main():
     dt = time.time() - t0
     rate = n_lookups / dt
 
+    # --- race-scale lookup row: 64M-key table (worse gather locality) ----
+    lg = np.frombuffer(rng.bytes(LARGE_GENOME_BASES), dtype=np.uint8) & 3
+    acc = RunAccumulator(unit=max(1 << 14, COUNT_CHUNK // 8),
+                         stage_lanes=8 * COUNT_CHUNK)
+    for off in range(0, LARGE_GENOME_BASES - K + 1, COUNT_CHUNK):
+        end = min(off + COUNT_CHUNK + K - 1, LARGE_GENOME_BASES)
+        chunk = np.full(COUNT_CHUNK + K - 1, 4, dtype=np.uint8)
+        chunk[: end - off] = lg[off:end]
+        keys, valid = extract_windows(jnp.asarray(chunk), K)
+        acc.push_raw(keys, valid)
+    run = acc.finish()
+    n_keys_large = int(run[3])
+    tab_large = build_table(run, K)
+    del run, acc
+    jax.block_until_ready(tab_large)
+    ldraft = lg.copy()
+    n_err = LARGE_GENOME_BASES // 1000
+    pos = rng.choice(LARGE_GENOME_BASES, size=n_err, replace=False)
+    ldraft[pos] = (ldraft[pos] + rng.integers(1, 4, size=n_err)) % 4
+    ltiles = [
+        jnp.asarray(ldraft[off : off + TILE + K - 1])
+        for off in range(0, 8 * TILE, TILE)
+    ]
+    np.asarray(scan_step(tab_large, ltiles[0], thre))  # warm + sync
+    t0 = time.time()
+    n_lookups_l = 0
+    for it in range(max(2, ITERS // 2)):
+        for tile in ltiles:
+            out = scan_step(tab_large, tile, thre)
+            n_lookups_l += TILE
+    np.asarray(out)
+    dt_l = time.time() - t0
+    rate_large = n_lookups_l / dt_l
+    table_large_bytes = tab_large.nbytes
+    del tab_large, ltiles
+
     baseline = load_baseline()
     meta = {
         "backend": jax.default_backend(),
@@ -206,6 +245,9 @@ def main():
         "bench_secs": round(dt, 3),
         "tile_windows": TILE,
         "baseline_lookups_per_sec": baseline,
+        "n_keys_large": n_keys_large,
+        "table_large_bytes": table_large_bytes,
+        "lookups_per_sec_large_table": round(rate_large),
     }
     print(json.dumps(meta), file=sys.stderr)
     print(
@@ -215,6 +257,8 @@ def main():
                 "value": round(rate),
                 "unit": "lookups/s",
                 "vs_baseline": round(rate / baseline, 3),
+                "lookups_per_sec_large_table": round(rate_large),
+                "n_keys_large_table": n_keys_large,
                 "bases_counted_per_sec": round(prod_rate),
                 "bases_counted_per_sec_by_coverage": {
                     str(c): round(r) for c, r in prod_rate_by_cov.items()},

@@ -36,6 +36,86 @@ print("QVRESULT", repr(res["q_before"]), repr(res["q_after"]))
 """
 
 
+_COUNT_WORKER = r"""
+import os, sys
+sys.path.insert(0, os.environ["JASPER_TPU_ROOT"])
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+from jasper_tpu.parallel.distributed import barrier, maybe_init_distributed, my_shard
+pid, pcount = maybe_init_distributed()
+from jasper_tpu.count.counter import count_reads_to_host
+from jasper_tpu.io.jf import write_jf
+reads = os.environ["READS"].split(":")
+mine = my_shard(reads, pid, pcount)
+_, keys, counts = count_reads_to_host(mine, 25)
+write_jf(os.path.join(os.environ["WD"], f"shard{pid}.jf"), 25, keys,
+         counts.astype(np.uint64))
+barrier("count-done")
+print("COUNTOK", pid, len(keys))
+"""
+
+
+@pytest.mark.slow
+def test_two_process_counting_merges_to_single(tmp_path):
+    """P4 parity (VERDICT r4 #7): two hosts under jax.distributed each
+    count their shard of the reads; the SUM-merged .jf must byte-match the
+    single-process count of all reads. Reference: merge_files SUM semantics
+    (jf:jellyfish/merge_files.cc:45-101) behind --disk automerge."""
+    rng = np.random.default_rng(33)
+    genome = G.random_genome(rng, 9000)
+    reads = G.tiled_reads(genome, read_len=120, stride=4)
+    paths = []
+    for half in (0, 1):
+        rf = tmp_path / f"reads{half}.fq"
+        with open(rf, "w") as f:
+            for i, r in enumerate(reads[half::2]):
+                f.write(f"@r{half}_{i}\n{r}\n+\n{'I' * len(r)}\n")
+        paths.append(str(rf))
+
+    # single-process truth over both files
+    from jasper_tpu.count.counter import count_reads_to_host
+    from jasper_tpu.count.merge import merge_jf_files
+    from jasper_tpu.io.jf import write_jf
+
+    _, keys, counts = count_reads_to_host(paths, 25)
+    single_jf = tmp_path / "single.jf"
+    write_jf(str(single_jf), 25, keys, counts.astype(np.uint64))
+
+    port = _free_port()
+    procs = []
+    for pid in (0, 1):
+        env = dict(os.environ)
+        env.update(
+            JASPER_TPU_ROOT=str(G.REPO),
+            JASPER_TPU_COORDINATOR=f"127.0.0.1:{port}",
+            JASPER_TPU_NUM_PROCESSES="2",
+            JASPER_TPU_PROCESS_ID=str(pid),
+            READS=":".join(paths), WD=str(tmp_path),
+            JAX_PLATFORMS="cpu",
+        )
+        env.pop("XLA_FLAGS", None)
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", _COUNT_WORKER], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        ))
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for p2 in procs:
+                p2.kill()
+            pytest.fail("distributed counting hung")
+        assert p.returncode == 0, out[-3000:]
+        assert "COUNTOK" in out
+
+    merged_jf = tmp_path / "merged.jf"
+    merge_jf_files([str(tmp_path / "shard0.jf"), str(tmp_path / "shard1.jf")],
+                   str(merged_jf), op="sum")
+    with open(single_jf, "rb") as f1, open(merged_jf, "rb") as f2:
+        assert f1.read() == f2.read()
+
+
 @pytest.mark.slow
 def test_two_process_pipeline_matches_single(tmp_path):
     rng = np.random.default_rng(21)
