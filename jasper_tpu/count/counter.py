@@ -374,6 +374,13 @@ import os as _os
 SCALE_FINISH_LANES = int(_os.environ.get("JT_SCALE_FINISH_LANES",
                                          str(256_000_000)))
 
+# single-pass partitioned counting: resident-lane byte budget across ALL
+# ladders before the largest one evicts to the host (16 GB chip minus the
+# staging buffers, flush-sort transients, and pending merge queues; the
+# 100 Mbp practice leg OOMed with the valve at 1.5x SCALE_FINISH_LANES)
+PARTITION_RESIDENT_BYTES = int(_os.environ.get(
+    "JT_PARTITION_RESIDENT_BYTES", str(4 << 30)))
+
 
 _ESC_CAP = 65536  # fixed async escape-list capacity (counts >= 65535 keys)
 
@@ -784,8 +791,12 @@ def _count_partitioned_single_pass(paths, k, P, chunk_len, slice_lanes,
     from jasper_tpu.count.sorted_runs import PartitionedRunAccumulator
 
     n_windows = chunk_len - k + 1
+    # smaller staging than the single-ladder path (4x vs 8x chunk windows):
+    # P ladders hold the FULL distinct set concurrently, so the flush-sort
+    # transients ride on top of much larger residents (the 8x staging put
+    # the 100 Mbp practice leg ~2 GB over a 16 GB chip)
     pacc = PartitionedRunAccumulator(P, unit=max(1 << 14, n_windows // 8),
-                                     stage_lanes=8 * n_windows)
+                                     stage_lanes=4 * n_windows)
     part_streams: dict[int, list] = {p: [] for p in range(P)}
     pending_evic: list = []  # (p, thunk) issued, transfers in flight
 
@@ -808,10 +819,14 @@ def _count_partitioned_single_pass(paths, k, P, chunk_len, slice_lanes,
         _log(f"count: partition ladder {pbig} eviction started "
              f"({len(pending_evic)} level runs in flight)")
 
+    from jasper_tpu.ops.kmer import words_per_kmer
+
+    lane_bytes = 4 * (words_per_kmer(k) + 2)  # h + key words + count
     count_reads(paths, k, chunk_len=chunk_len, canonical=canonical,
                 min_qual_char=min_qual_char, progress=progress,
                 return_acc=True, accumulator=pacc,
-                n_slots=int(1.5 * SCALE_FINISH_LANES), on_full_run=_evict)
+                n_slots=PARTITION_RESIDENT_BYTES // lane_bytes,
+                on_full_run=_evict)
     pacc.drain()
     _log(f"count: device counting done "
          f"({pacc.n_resident_lanes()} resident lanes, {P} ladders)")

@@ -223,7 +223,7 @@ def _flush_stage_jit(key_parts, valid_parts):
     return _compact(h, skeys, totals)
 
 
-@functools.partial(jax.jit, static_argnames=("P", "C"))
+@functools.partial(jax.jit, static_argnames=("P", "C"), donate_argnums=(0, 1))
 def _flush_stage_split_jit(key_parts, valid_parts, P: int, C: int):
     """Flush a raw-window stage and SPLIT the compacted run into P
     partition slices by the hash's top log2(P) bits — the single-extraction
