@@ -808,15 +808,19 @@ def _count_partitioned_single_pass(paths, k, P, chunk_len, slice_lanes,
         pending_evic.clear()
 
     def _evict(_acc):
-        # largest ladder flushes to the host; its transfers overlap the
-        # counting that continues into the (now empty) ladder
+        # ALL ladders flush to the host at once: evicting only the largest
+        # regains ~1/P of the budget, so late-count stages (where every
+        # evicted key immediately re-accumulates from the remaining reads)
+        # re-trigger per stage and the d2h link drowns in duplicate pulls —
+        # the r4 eviction trap, measured again on the 100 Mbp practice leg.
+        # A full eviction costs one current-distinct pull and restores the
+        # whole budget, so it fires O(total_distinct / budget) times.
         _materialize_evictions()
-        sizes = [(pacc.accs[p].n_settled_lanes(), p) for p in range(P)]
-        _, pbig = max(sizes)
-        pending_evic.extend(
-            (pbig, t)
-            for t in start_all_level_pulls(pacc.accs[pbig], slice_lanes))
-        _log(f"count: partition ladder {pbig} eviction started "
+        for p in range(P):
+            pending_evic.extend(
+                (p, t)
+                for t in start_all_level_pulls(pacc.accs[p], slice_lanes))
+        _log(f"count: full ladder eviction started "
              f"({len(pending_evic)} level runs in flight)")
 
     from jasper_tpu.ops.kmer import words_per_kmer
