@@ -409,6 +409,7 @@ def start_level_pull(h, keys, counts, slice_lanes: int = 1 << 23,
         def _empty():
             return (np.zeros(0, np.uint32), np.zeros((0, W), np.uint32),
                     np.zeros(0, np.uint32))
+        _empty.ready = lambda: True
         return _empty
     c16 = jnp.minimum(counts, 65535).astype(jnp.uint16)
     big = counts >= jnp.uint32(65535)
@@ -425,6 +426,19 @@ def start_level_pull(h, keys, counts, slice_lanes: int = 1 << 23,
         slices.append((s, e, tup))
     for a in (esc_idx_dev, esc_val_dev):
         a.copy_to_host_async()
+
+    def ready() -> bool:
+        """True when every async copy has landed (materialize won't block)."""
+        if not slices:
+            return True
+        try:
+            for _, _, tup in slices:
+                for a in tup:
+                    if a is not None and not a.is_ready():
+                        return False
+            return True
+        except AttributeError:
+            return True
 
     def materialize():
         h_np = np.empty(L, np.uint32) if pull_h else None
@@ -450,6 +464,7 @@ def start_level_pull(h, keys, counts, slice_lanes: int = 1 << 23,
         hh = native_jf.mix32_batch(keys_np[:n_act])
         return hh, keys_np[:n_act], counts_np[:n_act]
 
+    materialize.ready = ready
     return materialize
 
 
@@ -596,10 +611,28 @@ def count_reads_to_host(
     seekable = all(isinstance(q, str) for q in paths)
     if P > 1 and mesh is None:
         from jasper_tpu.count.sorted_runs import PartitionSliceOverflow
+        from jasper_tpu.ops.kmer import words_per_kmer
 
+        # group count: passes G chosen so one pass's resident ladders fit
+        # the device budget WITHOUT evictions. The -s estimate (reads
+        # bytes/10) overcounts distinct ~3x on coverage data (race100:
+        # est 822M vs 278.4M actual); size classes pad runs ~1.4x. When
+        # the discount is wrong the eviction valve catches it.
+        lane_bytes = 4 * (words_per_kmer(k) + 2)
+        est_lanes = est // 3 * 14 // 10
+        G = 1
+        env_g = _os.environ.get("JT_COUNT_GROUPS")
+        if env_g:
+            G = max(1, int(env_g))
+        else:
+            while (G < P
+                   and est_lanes * lane_bytes // G > PARTITION_RESIDENT_BYTES):
+                G *= 2
+        if G > 1 and not seekable:
+            G = 1  # non-seekable inputs get one pass + the eviction valve
         try:
             return _count_partitioned_single_pass(
-                paths, k, P, chunk_len, slice_lanes, canonical,
+                paths, k, P, G, chunk_len, slice_lanes, canonical,
                 min_qual_char, progress, _log, return_device_table)
         except PartitionSliceOverflow:
             # adversarial hash skew (never under an honest mix32): redo
@@ -774,88 +807,105 @@ def _host_finish_from_parts(parts, k, _log, return_device_table):
     return out + (dev_tab,) if return_device_table else out
 
 
-def _count_partitioned_single_pass(paths, k, P, chunk_len, slice_lanes,
+def _count_partitioned_single_pass(paths, k, P, G, chunk_len, slice_lanes,
                                    canonical, min_qual_char, progress, _log,
                                    return_device_table):
-    """ONE pass over the reads feeding P hash-partition LSM ladders
-    (sorted_runs.PartitionedRunAccumulator): each window is extracted and
-    stage-sorted exactly once, and the compacted distinct stream splits into
-    per-partition slices on device. Replaces the P-pass extraction filter
-    (r4) whose passes redid the extraction and staging sorts P times to keep
-    1/P of the lanes — measured as the gap between the 20 Mbp count rate and
-    the 100 Mbp P=4 rate (BASELINE.md). Residents hold ALL partitions'
-    distinct sets; if they outgrow the budget (the -s estimate lied low or
-    the set really is chromosome-XL), the largest ladder evicts to the host
-    asynchronously and its streams merge per partition at the finish.
+    """Grouped partitioned counting: G passes over the reads, pass g holding
+    the 1/G hash subrange [g/G, (g+1)/G) resident as P/G per-partition LSM
+    ladders (sorted_runs.PartitionedRunAccumulator). Within a pass, every
+    window is extracted and stage-sorted exactly ONCE and the compacted
+    distinct stream splits into per-partition slices on device — so the
+    P-pass extraction filter's P-fold re-extraction (r4) shrinks to G-fold,
+    with G chosen so a pass's residents fit the device budget WITHOUT
+    evictions (each record then crosses the d2h link exactly once; the
+    fully-single-pass variant measured 4 eviction epochs of duplicate pulls
+    at 100 Mbp and lost to the link). G == 1 degenerates to one pass with
+    all partitions resident; G == P to the old multi-pass. The eviction
+    valve stays as the safety net when the estimate lies low.
     """
     from jasper_tpu.count.sorted_runs import PartitionedRunAccumulator
 
+    assert P % G == 0
+    PL = P // G  # resident ladders per pass
+    bits_total = max(P.bit_length() - 1, 0)
     n_windows = chunk_len - k + 1
-    # smaller staging than the single-ladder path (4x vs 8x chunk windows):
-    # P ladders hold the FULL distinct set concurrently, so the flush-sort
-    # transients ride on top of much larger residents (the 8x staging put
-    # the 100 Mbp practice leg ~2 GB over a 16 GB chip)
-    pacc = PartitionedRunAccumulator(P, unit=max(1 << 14, n_windows // 8),
-                                     stage_lanes=4 * n_windows)
     part_streams: dict[int, list] = {p: [] for p in range(P)}
-    pending_evic: list = []  # (p, thunk) issued, transfers in flight
+    pending_pulls: list = []  # (global_p, thunk): transfers in flight
 
-    def _materialize_evictions():
-        for p, t in pending_evic:
+    def _materialize_pending():
+        for p, t in pending_pulls:
             s = t()
             if len(s[0]):
                 part_streams[p].append(s)
-        pending_evic.clear()
+        pending_pulls.clear()
 
-    def _evict(_acc):
-        # ALL ladders flush to the host at once: evicting only the largest
-        # regains ~1/P of the budget, so late-count stages (where every
-        # evicted key immediately re-accumulates from the remaining reads)
-        # re-trigger per stage and the d2h link drowns in duplicate pulls —
-        # the r4 eviction trap, measured again on the 100 Mbp practice leg.
-        # A full eviction costs one current-distinct pull and restores the
-        # whole budget, so it fires O(total_distinct / budget) times.
-        _materialize_evictions()
-        for p in range(P):
-            pending_evic.extend(
-                (p, t)
-                for t in start_all_level_pulls(pacc.accs[p], slice_lanes))
-        _log(f"count: full ladder eviction started "
-             f"({len(pending_evic)} level runs in flight)")
-
-    from jasper_tpu.ops.kmer import words_per_kmer
-
-    lane_bytes = 4 * (words_per_kmer(k) + 2)  # h + key words + count
-    count_reads(paths, k, chunk_len=chunk_len, canonical=canonical,
-                min_qual_char=min_qual_char, progress=progress,
-                return_acc=True, accumulator=pacc,
-                n_slots=PARTITION_RESIDENT_BYTES // lane_bytes,
-                on_full_run=_evict)
-    pacc.drain()
-    _log(f"count: device counting done "
-         f"({pacc.n_resident_lanes()} resident lanes, {P} ladders)")
-    _materialize_evictions()
-
-    # finish ladders in partition order; ladder p's pull rides the link
-    # while ladder p+1's device merge-all runs
-    prev = None
-    for p in range(P):
-        run = pacc.accs[p].finish()
-        nxt = None
-        if run is not None:
-            h, keys, counts, n = run
-            if n:
-                nxt = (p, start_level_pull(h[:n], keys[:n], counts[:n],
-                                           slice_lanes))
-        if prev is not None:
-            s = prev[1]()
+    def _materialize_landed():
+        """Non-blocking: land finished pulls so their DEVICE buffers free
+        while the next pass counts (a pass's final runs otherwise stay
+        resident until the next blocking materialize — at G=2 that is ~3 GB
+        riding on top of the next pass's residents)."""
+        done = [i for i, (_, t) in enumerate(pending_pulls)
+                if getattr(t, "ready", lambda: False)()]
+        for i in reversed(done):
+            p, t = pending_pulls.pop(i)
+            s = t()
             if len(s[0]):
-                part_streams[prev[0]].append(s)
-        prev = nxt
-    if prev is not None:
-        s = prev[1]()
-        if len(s[0]):
-            part_streams[prev[0]].append(s)
+                part_streams[p].append(s)
+
+    for g in range(G):
+        p0 = g * PL
+        # smaller staging than the single-ladder path (4x vs 8x chunk
+        # windows): ladders ride alongside the flush-sort transients
+        pacc = PartitionedRunAccumulator(
+            PL, unit=max(1 << 14, n_windows // 8),
+            stage_lanes=4 * n_windows, p0=p0, bits_total=bits_total)
+
+        def _evict(_acc, pacc=pacc, p0=p0):
+            # safety valve (estimate lied low): ALL resident ladders flush
+            # to the host at once — evicting only the largest regains ~1/PL
+            # of the budget and re-triggers every stage while evicted keys
+            # re-accumulate, drowning the d2h link in duplicate pulls (the
+            # r4 eviction trap, measured again on the 100 Mbp practice leg)
+            _materialize_pending()
+            for pl in range(pacc.P):
+                pending_pulls.extend(
+                    (p0 + pl, t)
+                    for t in start_all_level_pulls(pacc.accs[pl], slice_lanes))
+            _log(f"count: pass {g + 1}/{G} ladder eviction "
+                 f"({len(pending_pulls)} level runs in flight)")
+
+        from jasper_tpu.ops.kmer import words_per_kmer
+
+        lane_bytes = 4 * (words_per_kmer(k) + 2)  # h + key words + count
+
+        def _tick(n_chunks, occupied, _user=progress):
+            _materialize_landed()
+            if _user is not None:
+                _user(n_chunks, occupied)
+
+        count_reads(paths, k, chunk_len=chunk_len, canonical=canonical,
+                    min_qual_char=min_qual_char, progress=_tick,
+                    return_acc=True, accumulator=pacc,
+                    partition=(g, G) if G > 1 else None,
+                    n_slots=PARTITION_RESIDENT_BYTES // lane_bytes,
+                    on_full_run=_evict)
+        pacc.drain()
+        _log(f"count: pass {g + 1}/{G} counted "
+             f"({pacc.n_resident_lanes()} resident lanes, {PL} ladders)")
+        # previous transfers have had the whole pass to land
+        _materialize_pending()
+        # finish ladders in partition order; pulls ride the link while the
+        # next ladder's device merge-all (and the next pass's count) run
+        for pl in range(PL):
+            run = pacc.accs[pl].finish()
+            if run is not None:
+                h, keys, counts, n = run
+                if n:
+                    pending_pulls.append(
+                        (p0 + pl, start_level_pull(h[:n], keys[:n],
+                                                   counts[:n], slice_lanes)))
+        del pacc
+    _materialize_pending()
 
     parts = []
     for p in range(P):
@@ -880,6 +930,14 @@ def _device_table_from_host_run(rh, rkeys, rcounts, k):
     n_slots = slots_for(max(len(rh), 1))
     n_buckets = max(1, -(-n_slots // (ROW_U32 // sw)))
     if (n_buckets + PAD_BUCKETS) * ROW_U32 >= (1 << 31):
+        return None
+    run_bytes = 4 * (2 + rkeys.shape[1]) * len(rh)
+    tab_bytes = (n_buckets + PAD_BUCKETS) * ROW_U32 * 4
+    if run_bytes + tab_bytes > int(_os.environ.get("JT_DEV_BUILD_BYTES",
+                                                   str(8 << 30))):
+        # pushing the records AND holding the table risks the chip at
+        # chromosome scale (the 100 Mbp practice leg OOMed here); the
+        # scanner's sliced donated table push costs ~the same h2d time
         return None
     run = (jnp.asarray(rh), jnp.asarray(rkeys), jnp.asarray(rcounts),
            len(rh))

@@ -223,8 +223,10 @@ def _flush_stage_jit(key_parts, valid_parts):
     return _compact(h, skeys, totals)
 
 
-@functools.partial(jax.jit, static_argnames=("P", "C"), donate_argnums=(0, 1))
-def _flush_stage_split_jit(key_parts, valid_parts, P: int, C: int):
+@functools.partial(jax.jit, static_argnames=("P", "C", "p0", "bits_total"),
+                   donate_argnums=(0, 1))
+def _flush_stage_split_jit(key_parts, valid_parts, P: int, C: int,
+                           p0: int = 0, bits_total: int | None = None):
     """Flush a raw-window stage and SPLIT the compacted run into P
     partition slices by the hash's top log2(P) bits — the single-extraction
     heart of partitioned counting (each window is extracted and sorted
@@ -239,6 +241,11 @@ def _flush_stage_split_jit(key_parts, valid_parts, P: int, C: int):
     total count of actives that fell past a slice's capacity — nonzero only
     if the hash is adversarially skewed (capacity is sized ~1000 sigma over
     the binomial mean); callers must then redo with the multi-pass path.
+
+    Grouped passes (p0, bits_total): the P slices cover GLOBAL partitions
+    [p0, p0 + P) out of 2^bits_total — the caller's extraction filter must
+    already restrict actives to that hash subrange (counter's grouped
+    counting: G passes each holding 1/G of the hash space resident).
     """
     keys = jnp.concatenate(list(key_parts), axis=0)
     valid = jnp.concatenate(list(valid_parts))
@@ -246,9 +253,10 @@ def _flush_stage_split_jit(key_parts, valid_parts, P: int, C: int):
     h, skeys, totals, n_act = _compact(h, skeys, totals)
     B = h.shape[0]
     W = skeys.shape[1]
-    bits = max(P.bit_length() - 1, 0)
+    bits = max(P.bit_length() - 1, 0) if bits_total is None else bits_total
     hkey = jnp.where(totals > 0, h, U32_MAX)  # actives ascend, dead at end
-    bvals = (jnp.arange(1, P, dtype=jnp.uint32) << jnp.uint32(32 - bits))
+    bvals = ((jnp.arange(1, P, dtype=jnp.uint32) + jnp.uint32(p0))
+             << jnp.uint32(32 - bits))
     inner = jnp.searchsorted(hkey, bvals).astype(jnp.int32)
     starts_b = jnp.concatenate([jnp.zeros(1, jnp.int32), inner])
     ends_b = jnp.concatenate([inner, n_act.astype(jnp.int32)[None]])
@@ -501,9 +509,13 @@ class PartitionedRunAccumulator:
     """
 
     def __init__(self, P: int, unit: int, stage_lanes: int,
-                 slice_cap: int | None = None):
-        assert P & (P - 1) == 0 and P > 1, "P must be a power of two > 1"
+                 slice_cap: int | None = None, p0: int = 0,
+                 bits_total: int | None = None):
+        assert P & (P - 1) == 0 and P >= 1, "P must be a power of two"
         self.P = P
+        self.p0 = p0
+        self.bits_total = (max(P.bit_length() - 1, 0)
+                           if bits_total is None else bits_total)
         self.stage_lanes = stage_lanes
         self.C = slice_cap or (stage_lanes // P
                                + max(stage_lanes // (4 * P), 1 << 15))
@@ -536,7 +548,7 @@ class PartitionedRunAccumulator:
         stage, self._stage, self._staged = self._stage, [], 0
         hs, ks, cs, nacts, ovf = _flush_stage_split_jit(
             tuple(k for k, _ in stage), tuple(v for _, v in stage),
-            self.P, self.C,
+            self.P, self.C, self.p0, self.bits_total,
         )
         try:
             ovf.copy_to_host_async()
