@@ -374,12 +374,13 @@ import os as _os
 SCALE_FINISH_LANES = int(_os.environ.get("JT_SCALE_FINISH_LANES",
                                          str(256_000_000)))
 
-# single-pass partitioned counting: resident-lane byte budget across ALL
-# ladders before the largest one evicts to the host (16 GB chip minus the
-# staging buffers, flush-sort transients, and pending merge queues; the
-# 100 Mbp practice leg OOMed with the valve at 1.5x SCALE_FINISH_LANES)
+# grouped partitioned counting: resident-lane byte budget across a pass's
+# ladders before they all evict to the host (16 GB chip minus the staging
+# buffers, flush-sort transients, pending merge queues, and the previous
+# pass's pulls in flight; the 100 Mbp practice leg OOMed with the valve at
+# 1.5x SCALE_FINISH_LANES = ~6.1 GB plus 8x staging)
 PARTITION_RESIDENT_BYTES = int(_os.environ.get(
-    "JT_PARTITION_RESIDENT_BYTES", str(4 << 30)))
+    "JT_PARTITION_RESIDENT_BYTES", str(int(5.5 * (1 << 30)))))
 
 
 _ESC_CAP = 65536  # fixed async escape-list capacity (counts >= 65535 keys)
@@ -616,10 +617,12 @@ def count_reads_to_host(
         # group count: passes G chosen so one pass's resident ladders fit
         # the device budget WITHOUT evictions. The -s estimate (reads
         # bytes/10) overcounts distinct ~3x on coverage data (race100:
-        # est 822M vs 278.4M actual); size classes pad runs ~1.4x. When
-        # the discount is wrong the eviction valve catches it.
+        # est 822M vs 278.4M actual); mid-count LSM levels hold ~2x the
+        # final distinct in lanes (duplicate keys across unmerged levels —
+        # the practice leg's pass 1 evicted at a 1.4x padding assumption).
+        # When the discount is wrong the eviction valve catches it.
         lane_bytes = 4 * (words_per_kmer(k) + 2)
-        est_lanes = est // 3 * 14 // 10
+        est_lanes = est // 3 * 2
         G = 1
         env_g = _os.environ.get("JT_COUNT_GROUPS")
         if env_g:

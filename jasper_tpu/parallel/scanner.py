@@ -192,6 +192,8 @@ class PartitionedDeviceScanner:
         self.P = max(1, -(-N // usable))
         self.part_rows = -(-N // self.P)
         self.n_global = N
+        self.tile = tile_for_table((self.part_rows + PAD_BUCKETS) * ROW_U32
+                                   * 4, tile)
         self._scan = _scan_counts_ranged_fn(self.k, N)
 
     def _slice_rows(self, p: int):
@@ -267,6 +269,24 @@ class PartitionedDeviceScanner:
         from jasper_tpu.polish.device_engine import ContigScan
 
         return ContigScan(counts, valid, unsafe)
+
+
+def tile_for_table(table_bytes: int, tile: int, hbm: int = 14 << 30) -> int:
+    """Largest power-of-two scan tile that compiles alongside a resident
+    table of table_bytes.
+
+    Measured on v5e (2026-08-21): lookup_kmers' pending-round loop costs
+    ~2.6 KB of program HBM per LANE (the in-loop scatter updates of the
+    carried result/pending/off arrays), so a 4.19M-lane tile against a
+    4.9 GB table asks for ~16.3 GB and fails to compile, while 1M-lane
+    tiles (the profiled throughput sweet spot) fit comfortably. Cap the
+    tile so lane overhead + table + ~2.5 GB of gathers/transients stay
+    inside the chip."""
+    budget_lanes = max(1 << 18, (hbm - table_bytes - (3 << 30)) // 2700)
+    t = 1 << 18
+    while t * 2 <= min(tile, budget_lanes):
+        t *= 2
+    return t
 
 
 def local_data_mesh(num_devices: int | None = None, devices=None):
@@ -353,7 +373,8 @@ def select_scanner(host_table, k: int, num_devices: int | None = None,
         tab = device_tab
     else:
         tab = push_table_sliced(host_table.tab)
-    return DeviceScanner(tab, k, tile=tile, mesh=mesh)
+    return DeviceScanner(tab, k, tile=tile_for_table(table_bytes, tile),
+                         mesh=mesh)
 
 
 def push_table_sliced(tab_np, slice_bytes: int = 512 << 20):

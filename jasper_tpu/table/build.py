@@ -67,19 +67,19 @@ def build_from_run(h, keys, counts, n_buckets: int, owner_bits: int = 0):
 
     # scatter word-by-word into a flat 1-D array: a [total_slots, sw] 2-D
     # scatter output would be tile-padded to 128 lanes on TPU (sw=4 -> 32x
-    # HBM inflation, measured as a 34 GB OOM on a 67M-slot build)
-    # rows may carry spare tail words (tight packing: sw need not divide
-    # 64), so slot word w lives at bucket * 64 + slot_in_bucket * sw + w
+    # HBM inflation, measured as a 34 GB OOM on a 67M-slot build).
+    # Word-major rows (kmer_table layout): slot s's word j lives at
+    # bucket * 64 + j * S + s
     n_rows = n_buckets + PAD_BUCKETS
     assert n_rows * ROW_U32 < 1 << 31, "table exceeds int32 flat addressing"
-    wbase = bucket * ROW_U32 + (slot - bucket * S) * sw
+    wbase = bucket * ROW_U32 + (slot - bucket * S)
     idx = jnp.where(ok, wbase, jnp.int32(n_rows * ROW_U32))  # OOR -> dropped
     flat = jnp.zeros(n_rows * ROW_U32, dtype=jnp.uint32)
     for w in range(W):
-        flat = flat.at[idx + w].set(keys[:, w], mode="drop",
+        flat = flat.at[idx + w * S].set(keys[:, w], mode="drop",
+                                        indices_are_sorted=True)
+    flat = flat.at[idx + W * S].set(counts, mode="drop",
                                     indices_are_sorted=True)
-    flat = flat.at[idx + (sw - 1)].set(counts, mode="drop",
-                                       indices_are_sorted=True)
     tab = flat.reshape(n_buckets + PAD_BUCKETS, ROW_U32)
     return tab, jnp.sum(failed.astype(jnp.uint32))
 

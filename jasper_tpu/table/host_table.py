@@ -99,11 +99,11 @@ class HostKmerTable:
                 break
             n_slots *= 2
         flat = np.zeros((n_buckets + PAD_BUCKETS) * ROW_U32, dtype=np.uint32)
-        # rows may carry spare tail words: word base = bucket*64 + local*sw
-        base = (slot // S) * ROW_U32 + (slot % S) * sw
+        # word-major rows: slot s's word j at bucket*64 + j*S + s
+        base = (slot // S) * ROW_U32 + (slot % S)
         for w in range(W):
-            flat[base + w] = keys[:, w]
-        flat[base + (sw - 1)] = counts
+            flat[base + w * S] = keys[:, w]
+        flat[base + W * S] = counts
         return cls(k, flat.reshape(n_buckets + PAD_BUCKETS, ROW_U32))
 
     def insert_np(self, keys: np.ndarray, counts: np.ndarray) -> None:
@@ -123,9 +123,11 @@ class HostKmerTable:
         rounds = 0
         while pending.any():
             b = home + off
-            rows = self.tab[b][:, : S * sw].reshape(-1, S, sw)
-            occ = rows[:, :, sw - 1] != 0
-            key_eq = (rows[:, :, :W] == keys[:, None, :]).all(axis=-1) & occ
+            rows = self.tab[b]
+            occ = rows[:, W * S : (W + 1) * S] != 0
+            key_eq = occ.copy()
+            for w in range(W):
+                key_eq &= rows[:, w * S : (w + 1) * S] == keys[:, w : w + 1]
             hit_slot = key_eq.argmax(axis=1)
             is_match = pending & key_eq.any(axis=1)
             has_empty = (~occ).any(axis=1)
@@ -137,17 +139,17 @@ class HostKmerTable:
 
             np.add.at(
                 flat,
-                b[is_match] * ROW_U32 + hit_slot[is_match] * sw + (sw - 1),
+                b[is_match] * ROW_U32 + W * S + hit_slot[is_match],
                 counts[is_match],
             )
 
             tgt = b * S + first_empty  # slot-granular claim index
             np.minimum.at(claim, tgt[is_empty], ids[is_empty])
             won = is_empty & (claim[tgt] == ids)
-            wb = b[won] * ROW_U32 + first_empty[won] * sw
+            wb = b[won] * ROW_U32 + first_empty[won]
             for w in range(W):
-                flat[wb + w] = keys[won, w]
-            flat[wb + (sw - 1)] = counts[won]
+                flat[wb + w * S] = keys[won, w]
+            flat[wb + W * S] = counts[won]
             claim[tgt[is_empty]] = 0xFFFFFFFF
 
             pending = pending & ~is_match & ~won
@@ -168,11 +170,14 @@ class HostKmerTable:
         off = np.zeros(B, dtype=np.int64)
         while pending.any():
             b = np.minimum(home + off, self.n_buckets + PAD_BUCKETS - 1)
-            rows = self.tab[b][:, : S * sw].reshape(-1, S, sw)
-            occ = rows[:, :, sw - 1] != 0
-            key_eq = (rows[:, :, :W] == keys[:, None, :]).all(axis=-1) & occ
+            rows = self.tab[b]
+            cnts = rows[:, W * S : (W + 1) * S]
+            occ = cnts != 0
+            key_eq = occ.copy()
+            for w in range(W):
+                key_eq &= rows[:, w * S : (w + 1) * S] == keys[:, w : w + 1]
             hit = key_eq.any(axis=1)
-            cnt = (np.where(key_eq, rows[:, :, sw - 1], 0)).sum(axis=1).astype(np.uint32)
+            cnt = np.where(key_eq, cnts, 0).sum(axis=1).astype(np.uint32)
             has_empty = (~occ).any(axis=1)
             exhausted = off > PAD_BUCKETS
             res[pending & hit] = cnt[pending & hit]
@@ -205,11 +210,14 @@ class HostKmerTable:
         b = home_of_int(h, self.n_buckets)
         last = self.n_buckets + PAD_BUCKETS - 1
         while True:
-            rows = self.tab[b][: S * sw].reshape(S, sw)
-            occ = rows[:, sw - 1] != 0
-            eq = (rows[:, :W] == key).all(axis=1) & occ
+            row = self.tab[b]
+            cnts = row[W * S : (W + 1) * S]
+            occ = cnts != 0
+            eq = occ.copy()
+            for w in range(W):
+                eq &= row[w * S : (w + 1) * S] == key[w]
             if eq.any():
-                return int(rows[eq.argmax(), sw - 1])
+                return int(cnts[eq.argmax()])
             if (~occ).any() or b >= last:
                 return 0
             b += 1
@@ -248,10 +256,14 @@ class HostKmerTable:
     def items(self):
         """(keys uint32 [N, W], counts uint32 [N]) over occupied slots, in
         slot order."""
-        sw, S = self.sw, self.slots
-        flat = self.tab[:, : S * sw].reshape(-1, sw)
-        occ = flat[:, sw - 1] != 0
-        return flat[occ][:, : self.W], flat[occ][:, sw - 1]
+        W, S = self.W, self.slots
+        cnts = self.tab[:, W * S : (W + 1) * S].ravel()
+        occ = cnts != 0
+        keys = np.stack(
+            [self.tab[:, w * S : (w + 1) * S].ravel()[occ] for w in range(W)],
+            axis=-1,
+        )
+        return keys, cnts[occ]
 
 
 class TableOverflow(RuntimeError):
@@ -317,10 +329,10 @@ class SortedRunTableBuilder:
             np.max(slot // self.S - home)
         ) > PAD_BUCKETS:
             raise TableOverflow
-        base = (slot // self.S) * ROW_U32 + (slot % self.S) * self.sw
+        base = (slot // self.S) * ROW_U32 + (slot % self.S)
         for w in range(self.W):
-            self.flat[base + w] = keys[:, w]
-        self.flat[base + (self.sw - 1)] = np.asarray(counts, dtype=np.uint32)
+            self.flat[base + w * self.S] = keys[:, w]
+        self.flat[base + self.W * self.S] = np.asarray(counts, dtype=np.uint32)
         self._carry = pref[-1]
         self._rank0 += n
 

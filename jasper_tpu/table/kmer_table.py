@@ -7,12 +7,18 @@ from measured v5e gather behavior: XLA row-gather cost is per-index
 16 slots per physical row ("bucket") and one gather resolves a lookup:
 
   tab: uint32 [n_buckets + PAD_BUCKETS, 64]
-       row = bucket of SLOTS slots x SLOT_WORDS u32:
-         slot words 0..W-1 : key words (word 0 least significant)
-         slot word  W      : count; 0 == empty
+       row = bucket of SLOTS slots x SLOT_WORDS u32, laid out WORD-MAJOR:
+         columns [j*SLOTS, (j+1)*SLOTS) hold key word j of slots 0..SLOTS-1
+         (word 0 least significant); columns [W*SLOTS, (W+1)*SLOTS) hold
+         the counts (0 == empty).
        SLOT_WORDS = W + 1 (tight packing), SLOTS = 64 // SLOT_WORDS;
        row words past SLOTS * SLOT_WORDS are spare (always zero). k <= 32
        packs 21 slots/bucket (12 B/slot), k <= 48 16 slots (16 B/slot).
+       Word-major (struct-of-arrays within the row) keeps every probe read
+       a CONTIGUOUS column slice of the gathered [B, 64] rows — the
+       interleaved form needed a [B, S, sw] reshape whose minor dim gets
+       tile-padded on TPU (measured: the 4.19M-lane probe against a 4.85 GB
+       table failed to compile at 16.6 GB of program HBM).
 
 Probing is bucket-granular linear probing WITHOUT wraparound: home bucket
 b = mulhi(mix32(key), n_buckets) (ops.hashing.home_of — monotone in the
@@ -98,9 +104,33 @@ def slots_for(n_keys: int, load_factor: float = 0.7) -> int:
 
 
 def _slot_view(rows, W, sw, slots):
-    """rows [B, 64] -> (keys [B, S, W], counts [B, S]); drops spare words."""
-    s = rows[:, : slots * sw].reshape(rows.shape[0], slots, sw)
-    return s[:, :, :W], s[:, :, sw - 1]
+    """rows [B, 64] -> (keys [B, S, W], counts [B, S]); word-major columns.
+
+    Each output is built from contiguous column slices (no strided
+    reshape); the stack is only materialized by callers that need the 3-D
+    form — the probe helpers below compare per-word slices directly."""
+    xp = jnp if not isinstance(rows, np.ndarray) else np
+    keys = xp.stack(
+        [rows[:, j * slots : (j + 1) * slots] for j in range(W)], axis=-1
+    )
+    counts = rows[:, W * slots : (W + 1) * slots]
+    return keys, counts
+
+
+def _probe_rows(rows, kk, W, slots):
+    """Gathered rows [B, 64] + query keys [B, W] -> (hit, cnt, has_empty).
+
+    Pure column slices + elementwise compares so XLA fuses everything into
+    the gather consumer (no reshape, no padded materialization)."""
+    cnts = rows[:, W * slots : (W + 1) * slots]
+    occ = cnts != 0
+    eq = occ
+    for j in range(W):
+        eq = eq & (rows[:, j * slots : (j + 1) * slots] == kk[:, j : j + 1])
+    hit = jnp.any(eq, axis=1)
+    cnt = jnp.sum(jnp.where(eq, cnts, 0), axis=1).astype(jnp.uint32)
+    has_empty = jnp.any(~occ, axis=1)
+    return hit, cnt, has_empty, eq, occ
 
 
 def _dedupe_sorted(keys, counts, active):
@@ -175,23 +205,20 @@ def insert_kmers(tab, keys, counts, active, max_rounds: int = 512,
         n_before = jnp.sum(pending)
         b = home + off
         rows = jnp.take(tab, b, axis=0, mode="clip")
-        skeys, scnt = _slot_view(rows, W, sw, slots)
-        occ = scnt != 0
-        key_eq = jnp.all(skeys == keys[:, None, :], axis=-1) & occ
+        hit_any, _cnt, has_empty, key_eq, occ = _probe_rows(rows, keys, W, slots)
         hit_slot = jnp.argmax(key_eq, axis=1).astype(jnp.uint32)
-        is_match = pending & jnp.any(key_eq, axis=1)
-        has_empty = jnp.any(~occ, axis=1)
+        is_match = pending & hit_any
         first_empty = jnp.argmax(~occ, axis=1).astype(jnp.uint32)
         is_empty = pending & ~is_match & has_empty
         is_full = pending & ~is_match & ~has_empty
         beyond = is_full & (off >= PAD_BUCKETS)
 
-        # word-flat view: rows may have spare tail words, so slot word w
-        # lives at bucket * ROW_U32 + slot * sw + w
+        # word-flat view (word-major rows): slot s's word j lives at
+        # bucket * ROW_U32 + j * slots + s
         flat = tab.reshape(-1)
         # add counts for matches
         add_idx = jnp.where(
-            is_match, b * ROW_U32 + hit_slot * sw + (sw - 1), _DROP
+            is_match, b * ROW_U32 + jnp.uint32(W * slots) + hit_slot, _DROP
         )
         flat = flat.at[add_idx].add(jnp.where(is_match, counts, 0), mode="drop")
         # claim an empty slot, spreading contenders of one bucket across its
@@ -209,14 +236,12 @@ def insert_kmers(tab, keys, counts, active, max_rounds: int = 512,
         claim_idx = jnp.where(is_empty, tgt, _DROP)
         claim = claim.at[claim_idx].min(ids, mode="drop")
         won = is_empty & (jnp.take(claim, tgt, mode="clip") == ids)
-        wbase = b * ROW_U32 + sl * sw
+        wbase = b * ROW_U32 + sl
         for w in range(W):
-            flat = flat.at[jnp.where(won, wbase + w, _DROP)].set(
-                keys[:, w], mode="drop"
-            )
-        flat = flat.at[jnp.where(won, wbase + (sw - 1), _DROP)].set(
-            counts, mode="drop"
-        )
+            flat = flat.at[jnp.where(won, wbase + jnp.uint32(w * slots),
+                                     _DROP)].set(keys[:, w], mode="drop")
+        flat = flat.at[jnp.where(won, wbase + jnp.uint32(W * slots),
+                                 _DROP)].set(counts, mode="drop")
         claim = claim.at[claim_idx].set(_EMPTY_CLAIM, mode="drop")
         tab = flat.reshape(tab.shape)
 
@@ -272,12 +297,7 @@ def lookup_kmers(tab, keys, valid, max_rounds: int | None = None,
         home = (jnp.where(in_range, hg - base, 0) | vzero).astype(jnp.uint32)
 
     def probe(rows, kk):
-        skeys, scnt = _slot_view(rows, W, sw, slots)
-        occ = scnt != 0
-        key_eq = jnp.all(skeys == kk[:, None, :], axis=-1) & occ
-        hit = jnp.any(key_eq, axis=1)
-        cnt = jnp.sum(jnp.where(key_eq, scnt, 0), axis=1).astype(jnp.uint32)
-        has_empty = jnp.any(~occ, axis=1)
+        hit, cnt, has_empty, _eq, _occ = _probe_rows(rows, kk, W, slots)
         return hit, cnt, has_empty
 
     rows = jnp.take(tab, home, axis=0, mode="clip")
@@ -333,13 +353,8 @@ def table_histogram(tab, max_count: int, k: int | None = None, W: int | None = N
         W = words_per_kmer(k)
     sw = slot_words_for(W)
     slots = ROW_U32 // sw
-    if slots * sw == ROW_U32:
-        counts = tab.reshape(-1)[sw - 1 :: sw]
-    else:
-        # spare row-tail words: slice them off first (materializes a
-        # roughly table-sized copy; fine at the sizes this runs at — the
-        # chromosome-scale histogram derives from pulled counts instead)
-        counts = tab[:, : slots * sw].reshape(-1)[sw - 1 :: sw]
+    # word-major rows: counts are one contiguous column block
+    counts = tab[:, W * slots : (W + 1) * slots].reshape(-1)
     clipped = jnp.clip(counts, 0, max_count)
     return jnp.bincount(clipped, length=max_count + 1).at[0].set(0)
 
@@ -348,10 +363,11 @@ def table_stats(tab, k: int):
     """(unique, distinct, total, max) as in `jellyfish stats`
     (sub_commands/stats_main.cc:32-46). Host-side numpy (uint64 totals)."""
     arr = np.asarray(tab)
-    sw = slot_words_for(words_per_kmer(k))
+    W = words_per_kmer(k)
+    sw = slot_words_for(W)
     slots = ROW_U32 // sw
-    counts = (arr.reshape(-1, ROW_U32)[:, : slots * sw]
-              .reshape(-1, sw)[:, sw - 1].astype(np.uint64))
+    counts = (arr.reshape(-1, ROW_U32)[:, W * slots : (W + 1) * slots]
+              .ravel().astype(np.uint64))
     occupied = counts != 0
     return (
         int((counts == 1).sum()),

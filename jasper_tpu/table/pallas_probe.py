@@ -50,11 +50,13 @@ def _probe_kernel(G: int, W: int, sw: int, slots: int):
             hit = jnp.zeros((1, 1), jnp.uint32)
             empty = jnp.zeros((1, 1), jnp.uint32)
             for s in range(slots):
-                base = s * sw
-                kw = row[:, base : base + W]  # [1, W]
-                c = row[:, base + sw - 1 : base + sw]  # [1, 1]
+                # word-major rows: slot s's word j at column j*slots + s
+                c = row[:, W * slots + s : W * slots + s + 1]  # [1, 1]
                 occ = c != 0
-                eq = jnp.all(kw == key, axis=1, keepdims=True) & occ
+                eq = occ
+                for w in range(W):
+                    eq = eq & (row[:, w * slots + s : w * slots + s + 1]
+                               == key[:, w : w + 1])
                 cnt = cnt + jnp.where(eq, c, 0)
                 hit = hit | eq.astype(jnp.uint32)
                 empty = empty | (~occ).astype(jnp.uint32)

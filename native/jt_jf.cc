@@ -349,9 +349,10 @@ extern "C" int jt_waterfall_extend(const uint32_t* keys, const uint32_t* counts,
     int64_t target = home * S;
     slot = slot + 1 > target ? slot + 1 : target;
     if (slot >= total_slots || slot / S - home > pad_buckets) return 1;
-    uint32_t* dst = tab + (slot / S) * 64 + (slot % S) * sw;
-    memcpy(dst, keys + i * W, 4 * (size_t)W);
-    dst[sw - 1] = counts[i];
+    // word-major rows: slot s's word j at bucket*64 + j*S + s
+    uint32_t* dst = tab + (slot / S) * 64 + (slot % S);
+    for (int j = 0; j < W; ++j) dst[j * S] = keys[i * W + j];
+    dst[W * S] = counts[i];
   }
   *io_last_slot = slot;
   return 0;

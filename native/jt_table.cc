@@ -110,16 +110,17 @@ inline uint32_t probe(const uint32_t* tab, uint64_t n_buckets, int pad_buckets,
   uint64_t b = home_of(mix32(key, W), n_buckets);
   uint64_t last = n_buckets + (uint64_t)pad_buckets - 1;
   int slots = ROW_U32 / sw;
+  // word-major rows: slot s's word j at row[j*slots + s], count at
+  // row[W*slots + s] (jasper_tpu/table/kmer_table.py layout)
   for (;;) {
     const uint32_t* row = tab + b * ROW_U32;
     bool has_empty = false;
     for (int sidx = 0; sidx < slots; ++sidx) {
-      const uint32_t* slot = row + sidx * sw;
-      uint32_t cnt = slot[sw - 1];
+      uint32_t cnt = row[W * slots + sidx];
       if (cnt == 0) { has_empty = true; continue; }
       bool eq = true;
       for (int j = 0; j < W; ++j)
-        if (slot[j] != key[j]) { eq = false; break; }
+        if (row[j * slots + sidx] != key[j]) { eq = false; break; }
       if (eq) return cnt;
     }
     if (has_empty || b >= last) return 0;
