@@ -85,13 +85,15 @@ def make_run(keys, counts, valid):
     return _compact(sh, skeys, totals)
 
 
-def make_run_ones(keys, valid):
+def make_run_ones(keys, valid, with_flag: bool = False):
     """Windows -> UNCOMPACTED run, multiplicity 1 per valid lane (the
     counting hot path). One 5-operand sort; totals are run LENGTHS derived
     from lane positions, so no counts operand rides through the sort and no
     second compaction sort runs — duplicates stay interspersed as dead
     (count 0) lanes, which merge_runs and table.build both tolerate.
-    Returns (h, keys, totals)."""
+    Returns (h, keys, totals); with_flag=True appends the sorted validity
+    flag (True for every pre-dedup valid lane, dup lanes included — the
+    lanes whose h is meaningful and ascending)."""
     B, W = keys.shape
     h = mix32(jnp, keys)
     dead = (~valid).astype(jnp.uint32)
@@ -112,6 +114,8 @@ def make_run_ones(keys, valid):
     cand = jnp.where(is_last, pos, U32_MAX)
     run_end = jax.lax.cummin(cand[::-1])[::-1]
     totals = jnp.where(rep, run_end - pos + 1, 0)
+    if with_flag:
+        return sh, skeys, totals, svalid
     return sh, skeys, totals
 
 
@@ -246,23 +250,29 @@ def _flush_stage_split_jit(key_parts, valid_parts, P: int, C: int,
     [p0, p0 + P) out of 2^bits_total — the caller's extraction filter must
     already restrict actives to that hash subrange (counter's grouped
     counting: G passes each holding 1/G of the hash space resident).
+
+    Slices keep deduped duplicate lanes interspersed as dead (count 0)
+    lanes — the run stays in make_run_ones order, so NO second compaction
+    sort runs per stage (the ladder's first merge compacts); slice
+    capacity is therefore sized against VALID lanes (dups included).
     """
     keys = jnp.concatenate(list(key_parts), axis=0)
     valid = jnp.concatenate(list(valid_parts))
-    h, skeys, totals = make_run_ones(keys, valid)
-    h, skeys, totals, n_act = _compact(h, skeys, totals)
+    h, skeys, totals, svalid = make_run_ones(keys, valid, with_flag=True)
     B = h.shape[0]
     W = skeys.shape[1]
     bits = max(P.bit_length() - 1, 0) if bits_total is None else bits_total
-    hkey = jnp.where(totals > 0, h, U32_MAX)  # actives ascend, dead at end
+    # valid lanes (dups included) ascend in h and precede all invalid lanes
+    hkey = jnp.where(svalid, h, U32_MAX)
+    n_val = jnp.sum(svalid.astype(jnp.int32))
     bvals = ((jnp.arange(1, P, dtype=jnp.uint32) + jnp.uint32(p0))
              << jnp.uint32(32 - bits))
     inner = jnp.searchsorted(hkey, bvals).astype(jnp.int32)
     starts_b = jnp.concatenate([jnp.zeros(1, jnp.int32), inner])
-    ends_b = jnp.concatenate([inner, n_act.astype(jnp.int32)[None]])
+    ends_b = jnp.concatenate([inner, n_val[None]])
     Cc = min(C, B)
     idx = jnp.arange(Cc, dtype=jnp.int32)
-    hs, ks, cs, nacts = [], [], [], []
+    hs, ks, cs = [], [], []
     ovf = jnp.int32(0)
     for p in range(P):
         s, e = starts_b[p], ends_b[p]
@@ -272,16 +282,15 @@ def _flush_stage_split_jit(key_parts, valid_parts, P: int, C: int,
         cp = jax.lax.dynamic_slice(totals, (st,), (Cc,))
         gi = st + idx
         cp = jnp.where((gi >= s) & (gi < e), cp, 0)
-        sh = s - st  # dead lanes ahead of the actives after clamping
+        sh = s - st  # out-of-partition lanes ahead after clamping
         hp = jnp.roll(hp, -sh)
         kp = jnp.roll(kp, -sh, axis=0)
         cp = jnp.roll(cp, -sh)
         hs.append(hp)
         ks.append(kp)
         cs.append(cp)
-        nacts.append(jnp.minimum(e - s, Cc))
         ovf = ovf + jnp.maximum(e - s - Cc, 0)
-    return tuple(hs), tuple(ks), tuple(cs), jnp.stack(nacts), ovf
+    return tuple(hs), tuple(ks), tuple(cs), ovf
 
 
 @functools.partial(jax.jit, static_argnames=("k", "canonical", "partition"))
@@ -546,7 +555,7 @@ class PartitionedRunAccumulator:
         if not self._stage:
             return
         stage, self._stage, self._staged = self._stage, [], 0
-        hs, ks, cs, nacts, ovf = _flush_stage_split_jit(
+        hs, ks, cs, ovf = _flush_stage_split_jit(
             tuple(k for k, _ in stage), tuple(v for _, v in stage),
             self.P, self.C, self.p0, self.bits_total,
         )
@@ -557,7 +566,9 @@ class PartitionedRunAccumulator:
         self._ovf_pending.append(ovf)
         self._check_ovf()
         for p in range(self.P):
-            self.accs[p]._enqueue(hs[p], ks[p], cs[p], nacts[p])
+            # dup lanes ride along as dead; size class = lane count (the
+            # first ladder merge compacts) — no n_act scalar to wait on
+            self.accs[p].push_uncompacted(hs[p], ks[p], cs[p])
 
     def n_resident_lanes(self) -> int:
         return self._staged + sum(a.n_resident_lanes() for a in self.accs)
