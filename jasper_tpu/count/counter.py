@@ -929,8 +929,10 @@ def _device_table_from_host_run(rh, rkeys, rcounts, k):
     from jasper_tpu.ops.kmer import words_per_kmer
     from jasper_tpu.table.kmer_table import PAD_BUCKETS, ROW_U32,         slot_words_for, slots_for
 
+    from jasper_tpu.table.kmer_table import adaptive_load
+
     sw = slot_words_for(words_per_kmer(k))
-    n_slots = slots_for(max(len(rh), 1))
+    n_slots = slots_for(max(len(rh), 1), adaptive_load(len(rh), k))
     n_buckets = max(1, -(-n_slots // (ROW_U32 // sw)))
     if (n_buckets + PAD_BUCKETS) * ROW_U32 >= (1 << 31):
         return None
@@ -959,7 +961,9 @@ def _device_table_fits(n_records: int, k: int) -> bool:
         slots_for,
     )
 
+    from jasper_tpu.table.kmer_table import adaptive_load
+
     sw = slot_words_for(words_per_kmer(k))
-    n_slots = slots_for(max(n_records, 1))
+    n_slots = slots_for(max(n_records, 1), adaptive_load(n_records, k))
     n_buckets = max(1, -(-n_slots // (ROW_U32 // sw)))
     return (n_buckets + PAD_BUCKETS) * ROW_U32 < (1 << 31)

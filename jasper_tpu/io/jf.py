@@ -288,7 +288,7 @@ def read_any_jf(path: str):
     raise ValueError(f"unsupported jellyfish format {fmt!r}")
 
 
-def load_jf_into_host_table(path: str, load_factor: float = 0.7):
+def load_jf_into_host_table(path: str, load_factor: float | None = None):
     """.jf -> HostKmerTable (radix sort to hash order + cummax waterfall;
     records in a .jf are distinct, so the sorted-run build applies)."""
     from jasper_tpu.ops.hashing import hash_words_np

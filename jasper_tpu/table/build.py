@@ -87,11 +87,17 @@ def build_from_run(h, keys, counts, n_buckets: int, owner_bits: int = 0):
 _build_jit = jax.jit(build_from_run, static_argnames=("n_buckets", "owner_bits"))
 
 
-def build_table(run, k: int, load_factor: float = 0.7, owner_bits: int = 0):
+def build_table(run, k: int, load_factor: float | None = None,
+                owner_bits: int = 0):
     """Host driver: size the table for the run and build it, growing on the
     (rare) overflow beyond PAD_BUCKETS. run = (h, keys, counts, n_active)
-    from RunAccumulator.finish(). Returns the device table."""
+    from RunAccumulator.finish(). Returns the device table.
+    load_factor None -> kmer_table.adaptive_load (fast below 6 GB)."""
     h, keys, counts, n_active = run
+    if load_factor is None:
+        from jasper_tpu.table.kmer_table import adaptive_load
+
+        load_factor = adaptive_load(int(n_active), k)
     W = keys.shape[1]
     sw = slot_words_for(W)
     S = ROW_U32 // sw

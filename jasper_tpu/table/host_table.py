@@ -39,7 +39,7 @@ class HostKmerTable:
 
     @classmethod
     def builder(cls, k: int, n_total: int,
-                load_factor: float = 0.7) -> "SortedRunTableBuilder":
+                load_factor: float | None = None) -> "SortedRunTableBuilder":
         """Incremental from_sorted_run: push (mix32,key)-ordered record
         slices as they land from the device so placement overlaps the
         d2h transfer. Raises TableOverflow if n_total undersized the table
@@ -48,7 +48,7 @@ class HostKmerTable:
 
     @classmethod
     def from_sorted_run(cls, k: int, keys: np.ndarray, counts: np.ndarray,
-                        load_factor: float = 0.7,
+                        load_factor: float | None = None,
                         h: np.ndarray | None = None) -> "HostKmerTable":
         """Numpy twin of table.build.build_from_run: one cummax waterfall
         places a DISTINCT key stream already sorted by (mix32(key), key)
@@ -56,12 +56,14 @@ class HostKmerTable:
         Produces the same layout as mirroring the device-built table, at
         ~12 B/record of device->host traffic instead of the full table
         (the d2h link is ~25 MB/s through the TPU tunnel, BASELINE.md)."""
-        from jasper_tpu.table.kmer_table import slots_for
+        from jasper_tpu.table.kmer_table import adaptive_load, slots_for
 
         W = words_per_kmer(k)
         sw = slot_words_for(W)
         S = ROW_U32 // sw
         N = keys.shape[0]
+        if load_factor is None:
+            load_factor = adaptive_load(N, k)
         counts = np.asarray(counts, dtype=np.uint32)
         if h is None:
             from jasper_tpu.io import native_jf
@@ -276,10 +278,12 @@ class SortedRunTableBuilder:
     at a time). The prefix max carries across slices, so pushing slices in
     run order is bit-identical to the one-shot build."""
 
-    def __init__(self, cls, k: int, n_total: int, load_factor: float):
+    def __init__(self, cls, k: int, n_total: int, load_factor: float | None):
         from jasper_tpu.io import native_jf
-        from jasper_tpu.table.kmer_table import slots_for
+        from jasper_tpu.table.kmer_table import adaptive_load, slots_for
 
+        if load_factor is None:
+            load_factor = adaptive_load(n_total, k)
         self._cls = cls
         self.k = k
         self.W = words_per_kmer(k)
