@@ -251,28 +251,27 @@ def _flush_stage_split_jit(key_parts, valid_parts, P: int, C: int,
     already restrict actives to that hash subrange (counter's grouped
     counting: G passes each holding 1/G of the hash space resident).
 
-    Slices keep deduped duplicate lanes interspersed as dead (count 0)
-    lanes — the run stays in make_run_ones order, so NO second compaction
-    sort runs per stage (the ladder's first merge compacts); slice
-    capacity is therefore sized against VALID lanes (dups included).
+    (A no-second-sort variant that shipped slices in make_run_ones order
+    with dup lanes interspersed was tried and reverted: the ~50%-dead
+    slices inflated every ladder level above them, and the measured
+    100 Mbp pass time went 233.7 s -> 339.5 s.)
     """
     keys = jnp.concatenate(list(key_parts), axis=0)
     valid = jnp.concatenate(list(valid_parts))
-    h, skeys, totals, svalid = make_run_ones(keys, valid, with_flag=True)
+    h, skeys, totals = make_run_ones(keys, valid)
+    h, skeys, totals, n_act = _compact(h, skeys, totals)
     B = h.shape[0]
     W = skeys.shape[1]
     bits = max(P.bit_length() - 1, 0) if bits_total is None else bits_total
-    # valid lanes (dups included) ascend in h and precede all invalid lanes
-    hkey = jnp.where(svalid, h, U32_MAX)
-    n_val = jnp.sum(svalid.astype(jnp.int32))
+    hkey = jnp.where(totals > 0, h, U32_MAX)  # actives ascend, dead at end
     bvals = ((jnp.arange(1, P, dtype=jnp.uint32) + jnp.uint32(p0))
              << jnp.uint32(32 - bits))
     inner = jnp.searchsorted(hkey, bvals).astype(jnp.int32)
     starts_b = jnp.concatenate([jnp.zeros(1, jnp.int32), inner])
-    ends_b = jnp.concatenate([inner, n_val[None]])
+    ends_b = jnp.concatenate([inner, n_act.astype(jnp.int32)[None]])
     Cc = min(C, B)
     idx = jnp.arange(Cc, dtype=jnp.int32)
-    hs, ks, cs = [], [], []
+    hs, ks, cs, nacts = [], [], [], []
     ovf = jnp.int32(0)
     for p in range(P):
         s, e = starts_b[p], ends_b[p]
@@ -282,15 +281,16 @@ def _flush_stage_split_jit(key_parts, valid_parts, P: int, C: int,
         cp = jax.lax.dynamic_slice(totals, (st,), (Cc,))
         gi = st + idx
         cp = jnp.where((gi >= s) & (gi < e), cp, 0)
-        sh = s - st  # out-of-partition lanes ahead after clamping
+        sh = s - st  # dead lanes ahead of the actives after clamping
         hp = jnp.roll(hp, -sh)
         kp = jnp.roll(kp, -sh, axis=0)
         cp = jnp.roll(cp, -sh)
         hs.append(hp)
         ks.append(kp)
         cs.append(cp)
+        nacts.append(jnp.minimum(e - s, Cc))
         ovf = ovf + jnp.maximum(e - s - Cc, 0)
-    return tuple(hs), tuple(ks), tuple(cs), ovf
+    return tuple(hs), tuple(ks), tuple(cs), jnp.stack(nacts), ovf
 
 
 @functools.partial(jax.jit, static_argnames=("k", "canonical", "partition"))
@@ -555,7 +555,7 @@ class PartitionedRunAccumulator:
         if not self._stage:
             return
         stage, self._stage, self._staged = self._stage, [], 0
-        hs, ks, cs, ovf = _flush_stage_split_jit(
+        hs, ks, cs, nacts, ovf = _flush_stage_split_jit(
             tuple(k for k, _ in stage), tuple(v for _, v in stage),
             self.P, self.C, self.p0, self.bits_total,
         )
@@ -566,9 +566,7 @@ class PartitionedRunAccumulator:
         self._ovf_pending.append(ovf)
         self._check_ovf()
         for p in range(self.P):
-            # dup lanes ride along as dead; size class = lane count (the
-            # first ladder merge compacts) — no n_act scalar to wait on
-            self.accs[p].push_uncompacted(hs[p], ks[p], cs[p])
+            self.accs[p]._enqueue(hs[p], ks[p], cs[p], nacts[p])
 
     def n_resident_lanes(self) -> int:
         return self._staged + sum(a.n_resident_lanes() for a in self.accs)

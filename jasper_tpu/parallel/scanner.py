@@ -275,14 +275,14 @@ def tile_for_table(table_bytes: int, tile: int, hbm: int = 14 << 30) -> int:
     """Largest power-of-two scan tile that compiles alongside a resident
     table of table_bytes.
 
-    Measured on v5e (2026-08-21): lookup_kmers' probe program costs
-    ~5.4 KB of program HBM per LANE (first-round gather + the compacted
-    continuation loop + the full-width fallback branch, double-buffered by
-    the compiler), so a 2.1M-lane tile against a 4.9 GB table asks for
-    ~18.1 GB and fails to compile, while 1M-lane tiles (the profiled
-    throughput sweet spot) fit comfortably. Cap the tile so lane overhead
-    + table + ~3 GB of transients stay inside the chip."""
-    budget_lanes = max(1 << 18, (hbm - table_bytes - (3 << 30)) // 5600)
+    Measured on v5e (2026-08-21): lookup_kmers' probe program costs about
+    one extra table copy (the while-loop capture) plus ~2.7 KB of program
+    HBM per LANE, so a 4.19M-lane tile against a 4.9 GB table fails to
+    compile while 1-2M-lane tiles (the profiled throughput sweet spot)
+    fit. Cap the tile so lane overhead + table + ~3 GB of transients stay
+    inside the chip. (The banked 100 Mbp race polished at exactly this
+    config: 4.85 GB table, 2M-lane tiles.)"""
+    budget_lanes = max(1 << 18, (hbm - table_bytes - (3 << 30)) // 2700)
     t = 1 << 18
     while t * 2 <= min(tile, budget_lanes):
         t *= 2

@@ -326,86 +326,42 @@ def lookup_kmers(tab, keys, valid, max_rounds: int | None = None,
     pending = valid & ~hit & ~has_empty
 
     # -- continuation rounds for full-bucket-no-match lanes ----------------
-    # Compact the pending lanes ONCE (stable argsort) and run the probe
-    # walk over the small compacted set; the earlier design re-argsorted
-    # the full batch and scattered full-width arrays EVERY round, which
-    # (a) cost ~2.3 ms per round at 1M lanes — the load-0.7 curve measured
-    # 16.5M lookups/s vs 32.8M at load 0.5 — and (b) the in-loop scatters
-    # cost ~2.6 KB/lane of program HBM at chromosome-scale tables.
-    Bp = min(B, max(512, B // 4))
-    order = jnp.argsort(~pending, stable=True)  # pending lanes first
-    sub = order[:Bp]
-    sk = jnp.take(keys, sub, axis=0)
-    shome = jnp.take(home, sub)
-    sp0 = jnp.take(pending, sub)
-    last = jnp.uint32(n_buckets + PAD_BUCKETS - 1)
+    # One while loop (each extra table-capturing control-flow construct
+    # costs another full table copy of program HBM on this compiler —
+    # a fancier compact-once design needed 3 copies and stopped compiling
+    # at chromosome-scale tables); rounds compact pending lanes with a
+    # stable argsort and gather only those. Probe-chain cost at high load
+    # is instead managed by the adaptive load factor (adaptive_load).
+    C = min(B, max(512, B // 16))
     if max_rounds is None:
-        max_rounds = PAD_BUCKETS + 2
+        max_rounds = -(-B // C) * (PAD_BUCKETS + 2)
+    off = jnp.ones(B, jnp.uint32) | vzero
 
     def cond(state):
-        sres, sp, soff, r = state
-        return jnp.any(sp) & (r < max_rounds)
+        res, pending, off, r = state
+        return jnp.any(pending) & (r < max_rounds)
 
     def body(state):
-        sres, sp, soff, r = state
-        sb = jnp.minimum(shome + soff, last)
+        res, pending, off, r = state
+        order = jnp.argsort(~pending, stable=True)  # pending lanes first
+        sub = order[:C]
+        sk = jnp.take(keys, sub, axis=0)
+        sb = jnp.take(home, sub) + jnp.take(off, sub)
+        sb = jnp.minimum(sb, jnp.uint32(n_buckets + PAD_BUCKETS - 1))
         rows = jnp.take(tab, sb, axis=0, mode="clip")
-        hh, cc, he = probe(rows, sk)
+        hit, cnt, has_empty = probe(rows, sk)
+        sp = jnp.take(pending, sub)
+        soff = jnp.take(off, sub)
         # beyond-PAD probes are definitively absent (insert invariant)
-        resolved = sp & (hh | he | (soff > PAD_BUCKETS))
-        sres = jnp.where(resolved & hh, cc, sres)
-        sp = sp & ~resolved
-        soff = soff + sp.astype(jnp.uint32)
-        return sres, sp, soff, r + 1
+        exhausted = soff > PAD_BUCKETS
+        resolved = sp & (hit | has_empty | exhausted)
+        res = res.at[sub].set(jnp.where(resolved & hit, cnt, jnp.take(res, sub)))
+        pending = pending.at[sub].set(sp & ~resolved)
+        off = off.at[sub].set(jnp.where(sp, soff + 1, soff))
+        return res, pending, off, r + 1
 
-    sres, sp, soff, r = jax.lax.while_loop(
-        cond, body,
-        (jnp.zeros(Bp, jnp.uint32) | vzero, sp0,
-         jnp.ones(Bp, jnp.uint32) | vzero, vzero),
-    )
-    res = res.at[sub].max(jnp.where(sp0, sres, 0))
-
-    # pathological tail: more than Bp lanes pended at once — resolve the
-    # remainder through the same machinery once more (normally empty)
-    covered = jnp.zeros(B, bool).at[sub].set(True)
-    rest = pending & ~covered
-    res = jax.lax.cond(
-        jnp.any(rest),
-        lambda: jnp.maximum(
-            res,
-            _lookup_rest(tab, keys, rest, home, n_buckets, probe)),
-        lambda: res,
-    )
-    return res
-
-
-def _lookup_rest(tab, keys, pending, home, n_buckets, probe):
-    """Full-width fallback rounds for the (pathological) case where more
-    than a quarter of a batch pends at once: every pending lane advances
-    one probe per round, no compaction. Memory-light (elementwise only)."""
-    B = keys.shape[0]
-    last = jnp.uint32(n_buckets + PAD_BUCKETS - 1)
-    vzero = pending[0].astype(jnp.uint32) * jnp.uint32(0)
-
-    def cond(state):
-        res, sp, off, r = state
-        return jnp.any(sp) & (r < PAD_BUCKETS + 2)
-
-    def body(state):
-        res, sp, off, r = state
-        b = jnp.minimum(home + off, last)
-        rows = jnp.take(tab, b, axis=0, mode="clip")
-        hh, cc, he = probe(rows, keys)
-        resolved = sp & (hh | he | (off > PAD_BUCKETS))
-        res = jnp.where(resolved & hh, cc, res)
-        sp = sp & ~resolved
-        off = off + sp.astype(jnp.uint32)
-        return res, sp, off, r + 1
-
-    res, sp, off, r = jax.lax.while_loop(
-        cond, body,
-        (jnp.zeros(B, jnp.uint32) | vzero, pending,
-         jnp.ones(B, jnp.uint32) | vzero, vzero),
+    res, pending, off, r = jax.lax.while_loop(
+        cond, body, (res, pending, off, vzero)
     )
     return res
 
