@@ -27,8 +27,11 @@ from jasper_tpu.parallel.sharded_table import (
 )
 
 # conservative per-chip HBM budget for a replicated table (v5e has 16 GB;
-# leave room for scan batches, sort scratch, and XLA overhead)
-HBM_TABLE_BUDGET = 8 << 30
+# the scan program stores the gather operand TILED at ~2x the logical
+# bytes — see tile_for_table — so the replicated ceiling is ~5.5 GB
+# logical; bigger tables go hash-sharded (multi-chip) or bucket-range
+# partitioned (single chip))
+HBM_TABLE_BUDGET = int(5.5 * (1 << 30))
 
 
 class ShardedDeviceScanner:
@@ -271,18 +274,17 @@ class PartitionedDeviceScanner:
         return ContigScan(counts, valid, unsafe)
 
 
-def tile_for_table(table_bytes: int, tile: int, hbm: int = 14 << 30) -> int:
+def tile_for_table(table_bytes: int, tile: int, hbm: int = 15 << 30) -> int:
     """Largest power-of-two scan tile that compiles alongside a resident
     table of table_bytes.
 
-    Measured on v5e (2026-08-21): lookup_kmers' probe program costs about
-    one extra table copy (the while-loop capture) plus ~2.7 KB of program
-    HBM per LANE, so a 4.19M-lane tile against a 4.9 GB table fails to
-    compile while 1-2M-lane tiles (the profiled throughput sweet spot)
-    fit. Cap the tile so lane overhead + table + ~3 GB of transients stay
-    inside the chip. (The banked 100 Mbp race polished at exactly this
-    config: 4.85 GB table, 2M-lane tiles.)"""
-    budget_lanes = max(1 << 18, (hbm - table_bytes - (3 << 30)) // 2700)
+    Program-HBM model measured from the compiler's own allocation tables
+    (v5e, 2026-08-21): the scan stores the [R, 64] gather operand TILED
+    ({1,0:T(8,128)}: minor dim padded 64 -> 128 = ~2x the logical bytes)
+    plus ~2.7 KB per lane for the probe loop, plus ~1 GB of transients.
+    The 100 Mbp race's dense 4.85 GB table at 2M-lane tiles summed to
+    15.1 G of 15.75 G — a hairline fit; this cap keeps a real margin."""
+    budget_lanes = max(1 << 18, (hbm - 2 * table_bytes - (1 << 30)) // 2700)
     t = 1 << 18
     while t * 2 <= min(tile, budget_lanes):
         t *= 2

@@ -109,14 +109,18 @@ DENSE_LOAD = 0.7   # chromosome-scale footprint: ~20 M lookups/s/chip
 
 def adaptive_load(n_records: int, k: int) -> float:
     """Load-factor policy: FAST_LOAD while the table stays under
-    JT_TABLE_FAST_BYTES (default 6 GB), DENSE_LOAD beyond. Measured load
+    JT_TABLE_FAST_BYTES (default 5 GB), DENSE_LOAD beyond. Measured load
     curve (v5e, k=37, 1M-lane tiles, 2026-08-21): 0.55 ~30 M lookups/s,
     0.7 ~20 M, 0.8 ~9 M — probe-chain physics; density only pays when HBM
-    is the binding constraint (the 278 M-record scan table: 6.2 GB at
-    0.55 vs 4.85 GB at 0.7)."""
+    is the binding constraint. The threshold prices the scan program's
+    TILED table layout: XLA stores the [R, 64] gather operand as
+    {1,0:T(8,128)} — minor dim padded 64 -> 128, i.e. ~2x the logical
+    bytes (the 6.17 GB fast-load table at 278 M records showed up as
+    11.49 G in the compiler's allocation table and OOMed the scan), so
+    5 GB logical ~= 10 GB in-program is the safe ceiling on a 16 GB chip."""
     import os
 
-    fast_bytes = int(os.environ.get("JT_TABLE_FAST_BYTES", str(6 << 30)))
+    fast_bytes = int(os.environ.get("JT_TABLE_FAST_BYTES", str(5 << 30)))
     W = words_per_kmer(k)
     slots = ROW_U32 // slot_words_for(W)
     rows = -(-slots_for(max(n_records, 1), FAST_LOAD) // slots) + PAD_BUCKETS
